@@ -1,0 +1,22 @@
+#!/bin/bash
+# Regenerate golden outputs from the reference oracle binaries.
+# Usage: gen_goldens.sh <refbuild-bin-dir> <outdir>
+# The oracle is the reference Winnowmap v2.03 built from /root/reference
+# (out of tree); goldens are committed so CI does not need the oracle.
+set -euo pipefail
+BIN=$1; OUT=$2
+mkdir -p $OUT
+cd $OUT
+python3 $(dirname $0)/make_testdata.py --out-prefix t
+$BIN/meryl count k=15 output t_db t_ref.fa 2>/dev/null
+$BIN/meryl print greater-than distinct=0.9998 t_db 2>/dev/null > t_rep_k15.txt
+rm -rf t_db
+# PAF goldens (with CIGAR) -- vanilla path and SV-aware path
+$BIN/winnowmap --sv-off -c -W t_rep_k15.txt t_ref.fa t_reads.fa 2>/dev/null > golden_svoff.paf
+$BIN/winnowmap          -c -W t_rep_k15.txt t_ref.fa t_reads.fa 2>/dev/null > golden_svon.paf
+# SAM goldens
+$BIN/winnowmap --sv-off -a -W t_rep_k15.txt t_ref.fa t_reads.fa 2>/dev/null > golden_svoff.sam
+$BIN/winnowmap          -a -W t_rep_k15.txt t_ref.fa t_reads.fa 2>/dev/null > golden_svon.sam
+# No-alignment (chain-only) PAF golden
+$BIN/winnowmap --sv-off    -W t_rep_k15.txt t_ref.fa t_reads.fa 2>/dev/null > golden_svoff_nocig.paf
+echo "goldens written to $OUT"

@@ -1,0 +1,245 @@
+"""ctypes bindings for the winnowmap-tpu native host library.
+
+The library is compiled on first use with g++ (cached by source hash) —
+no pip/pybind dependency.  It hosts the irreducibly-sequential pieces
+(FASTX decode, exact-semantics banded DP, chain DP, minimizer scan); the
+TPU Pallas kernels are the production compute path.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sysconfig
+from pathlib import Path
+
+import numpy as np
+
+_SRC_DIR = Path(__file__).parent / "src"
+_BUILD_DIR = Path(__file__).parent / "_build"
+_SOURCES = ["wm_ksw.cpp", "wm_chain.cpp", "wm_sketch.cpp", "wm_fastx.cpp"]
+
+
+def _lib_path() -> Path:
+    h = hashlib.sha256()
+    for s in _SOURCES + ["wm_base.h"]:
+        h.update((_SRC_DIR / s).read_bytes())
+    return _BUILD_DIR / f"libwmtpu-{h.hexdigest()[:16]}.so"
+
+
+def _build() -> Path:
+    out = _lib_path()
+    if out.exists():
+        return out
+    _BUILD_DIR.mkdir(exist_ok=True)
+    cmd = (
+        ["g++", "-O2", "-g", "-fPIC", "-shared", "-std=c++17", "-o", str(out)]
+        + [str(_SRC_DIR / s) for s in _SOURCES]
+        + ["-lz"]
+    )
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return out
+
+
+class _ExtResult(ctypes.Structure):
+    _fields_ = [
+        ("max", ctypes.c_int32),
+        ("zdropped", ctypes.c_int32),
+        ("max_q", ctypes.c_int32),
+        ("max_t", ctypes.c_int32),
+        ("mqe", ctypes.c_int32),
+        ("mqe_t", ctypes.c_int32),
+        ("mte", ctypes.c_int32),
+        ("mte_q", ctypes.c_int32),
+        ("score", ctypes.c_int32),
+        ("reach_end", ctypes.c_int32),
+        ("n_cigar", ctypes.c_int32),
+        ("cigar", ctypes.POINTER(ctypes.c_uint32)),
+    ]
+
+
+_lib = None
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        path = _build()
+        L = ctypes.CDLL(str(path))
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        pu64 = ctypes.POINTER(ctypes.c_uint64)
+
+        L.wm_extz.argtypes = [
+            ctypes.c_int, u8p, ctypes.c_int, u8p, ctypes.c_int, i8p,
+            ctypes.c_int8, ctypes.c_int8, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(_ExtResult),
+        ]
+        L.wm_extz.restype = None
+        L.wm_extd.argtypes = [
+            ctypes.c_int, u8p, ctypes.c_int, u8p, ctypes.c_int, i8p,
+            ctypes.c_int8, ctypes.c_int8, ctypes.c_int8, ctypes.c_int8,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(_ExtResult),
+        ]
+        L.wm_extd.restype = None
+        L.wm_sw_i16.argtypes = [
+            ctypes.c_int, u8p, ctypes.c_int, u8p, ctypes.c_int, i8p,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        L.wm_sw_i16.restype = ctypes.c_int
+        L.wm_chain_dp.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            u64p, u64p,
+            ctypes.POINTER(pu64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(pu64), ctypes.POINTER(pu64),
+        ]
+        L.wm_chain_dp.restype = ctypes.c_int64
+        L.wm_sketch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint32, ctypes.c_int, u64p, ctypes.c_int64,
+            ctypes.POINTER(pu64), ctypes.POINTER(pu64),
+        ]
+        L.wm_sketch.restype = ctypes.c_int64
+        L.wm_encode_kmer.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        L.wm_encode_kmer.restype = ctypes.c_uint64
+        L.wm_free.argtypes = [ctypes.c_void_p]
+        L.wm_free.restype = None
+
+        L.wm_fastx_open.argtypes = [ctypes.c_char_p]
+        L.wm_fastx_open.restype = ctypes.c_void_p
+        L.wm_fastx_close.argtypes = [ctypes.c_void_p]
+        L.wm_fastx_read_batch.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        L.wm_fastx_read_batch.restype = ctypes.c_void_p
+        for name in ("names", "comments", "seqs", "quals"):
+            fn = getattr(L, f"wm_batch_{name}")
+            fn.argtypes = [ctypes.c_void_p]
+            fn.restype = ctypes.c_void_p
+        for name in ("name_off", "comment_off", "seq_off", "qual_off"):
+            fn = getattr(L, f"wm_batch_{name}")
+            fn.argtypes = [ctypes.c_void_p]
+            fn.restype = ctypes.POINTER(ctypes.c_int64)
+        L.wm_batch_n.argtypes = [ctypes.c_void_p]
+        L.wm_batch_n.restype = ctypes.c_int64
+        L.wm_batch_free.argtypes = [ctypes.c_void_p]
+        _lib = L
+    return _lib
+
+
+_EMPTY_U64 = np.zeros(0, dtype=np.uint64)
+
+
+class ExtResult:
+    """Extension alignment outcome (scores + BAM-packed CIGAR)."""
+
+    __slots__ = (
+        "max", "zdropped", "max_q", "max_t", "mqe", "mqe_t", "mte", "mte_q",
+        "score", "reach_end", "cigar",
+    )
+
+    def __init__(self, c: _ExtResult):
+        self.max = c.max
+        self.zdropped = bool(c.zdropped)
+        self.max_q, self.max_t = c.max_q, c.max_t
+        self.mqe, self.mqe_t = c.mqe, c.mqe_t
+        self.mte, self.mte_q = c.mte, c.mte_q
+        self.score = c.score
+        self.reach_end = bool(c.reach_end)
+        if c.n_cigar:
+            self.cigar = np.ctypeslib.as_array(c.cigar, (c.n_cigar,)).copy()
+        else:
+            self.cigar = np.zeros(0, dtype=np.uint32)
+
+
+def extz(qseq, tseq, mat, q, e, w, zdrop, end_bonus, flag) -> ExtResult:
+    L = lib()
+    r = _ExtResult()
+    qseq = np.ascontiguousarray(qseq, dtype=np.uint8)
+    tseq = np.ascontiguousarray(tseq, dtype=np.uint8)
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    L.wm_extz(len(qseq), qseq, len(tseq), tseq, 5, mat, q, e, w, zdrop,
+              end_bonus, flag, ctypes.byref(r))
+    out = ExtResult(r)
+    if r.n_cigar:
+        L.wm_free(r.cigar)
+    return out
+
+
+def extd(qseq, tseq, mat, q, e, q2, e2, w, zdrop, end_bonus, flag) -> ExtResult:
+    L = lib()
+    r = _ExtResult()
+    qseq = np.ascontiguousarray(qseq, dtype=np.uint8)
+    tseq = np.ascontiguousarray(tseq, dtype=np.uint8)
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    L.wm_extd(len(qseq), qseq, len(tseq), tseq, 5, mat, q, e, q2, e2, w,
+              zdrop, end_bonus, flag, ctypes.byref(r))
+    out = ExtResult(r)
+    if r.n_cigar:
+        L.wm_free(r.cigar)
+    return out
+
+
+def sw_score(qseq, tseq, mat, gapo, gape):
+    """Score-only local SW; returns (score, qe, te)."""
+    L = lib()
+    qe = ctypes.c_int()
+    te = ctypes.c_int()
+    qseq = np.ascontiguousarray(qseq, dtype=np.uint8)
+    tseq = np.ascontiguousarray(tseq, dtype=np.uint8)
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    sc = L.wm_sw_i16(len(qseq), qseq, len(tseq), tseq, 5, mat, gapo, gape,
+                     ctypes.byref(qe), ctypes.byref(te))
+    return sc, qe.value, te.value
+
+
+def chain_dp(ax, ay, *, max_dist_x, min_dist_x, max_dist_y, bw, max_skip,
+             max_iter, min_cnt, min_sc, gap_scale=1.0, is_cdna=0, n_segs=1):
+    """Exact chain DP.  Returns (u, ax_out, ay_out): per-chain score<<32|cnt
+    and the reordered anchors."""
+    L = lib()
+    ax = np.ascontiguousarray(ax, dtype=np.uint64)
+    ay = np.ascontiguousarray(ay, dtype=np.uint64)
+    pu = ctypes.POINTER(ctypes.c_uint64)()
+    pax = ctypes.POINTER(ctypes.c_uint64)()
+    pay = ctypes.POINTER(ctypes.c_uint64)()
+    n_u = ctypes.c_int32()
+    n_v = L.wm_chain_dp(max_dist_x, min_dist_x, max_dist_y, bw, max_skip,
+                        max_iter, min_cnt, min_sc, gap_scale, is_cdna, n_segs,
+                        len(ax), ax, ay, ctypes.byref(pu), ctypes.byref(n_u),
+                        ctypes.byref(pax), ctypes.byref(pay))
+    if n_u.value == 0:
+        return _EMPTY_U64, _EMPTY_U64, _EMPTY_U64
+    u = np.ctypeslib.as_array(pu, (n_u.value,)).copy()
+    axo = np.ctypeslib.as_array(pax, (n_v,)).copy()
+    ayo = np.ctypeslib.as_array(pay, (n_v,)).copy()
+    L.wm_free(pu)
+    L.wm_free(pax)
+    L.wm_free(pay)
+    return u, axo, ayo
+
+
+def sketch(seq: bytes, w: int, k: int, rid: int, is_hpc: bool,
+           wset: np.ndarray | None = None):
+    """Exact weighted-minimizer sketch.  Returns (x, y) uint64 arrays."""
+    L = lib()
+    wset = _EMPTY_U64 if wset is None or len(wset) == 0 else np.ascontiguousarray(wset, dtype=np.uint64)
+    px = ctypes.POINTER(ctypes.c_uint64)()
+    py = ctypes.POINTER(ctypes.c_uint64)()
+    n = L.wm_sketch(seq, len(seq), w, k, rid, int(is_hpc), wset, len(wset),
+                    ctypes.byref(px), ctypes.byref(py))
+    if n == 0:
+        return _EMPTY_U64, _EMPTY_U64
+    x = np.ctypeslib.as_array(px, (n,)).copy()
+    y = np.ctypeslib.as_array(py, (n,)).copy()
+    L.wm_free(px)
+    L.wm_free(py)
+    return x, y
+
+
+def encode_kmer(s: bytes) -> int:
+    return int(lib().wm_encode_kmer(s, len(s)))
