@@ -1,0 +1,43 @@
+import os
+import sys
+from pathlib import Path
+
+# Multi-chip tests emulate an 8-device mesh on CPU (real TPU has 1 chip here).
+# Set before any jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+DATA = REPO / "tests" / "data" / "golden"
+sys.path.insert(0, str(REPO))
+
+
+@pytest.fixture(scope="session")
+def golden_dir():
+    return DATA
+
+
+@pytest.fixture(scope="session")
+def ref_records(golden_dir):
+    from winnowmap_tpu.io.fastx import read_all
+
+    return read_all(str(golden_dir / "t_ref.fa"))
+
+
+@pytest.fixture(scope="session")
+def weight_set(golden_dir):
+    from winnowmap_tpu.index.build import load_weight_set
+
+    return load_weight_set(str(golden_dir / "t_rep_k15.txt"), 15)
+
+
+@pytest.fixture(scope="session")
+def index(ref_records, weight_set):
+    from winnowmap_tpu.index.build import build_index
+
+    return build_index(ref_records, w=50, k=15, weight_set=weight_set)

@@ -1,0 +1,281 @@
+"""winnowmap-compatible command line (reference src/main.c).
+
+Same flag surface and defaults as the reference CLI; maps reads (or an
+assembly) against a reference genome and writes PAF or SAM.
+"""
+from __future__ import annotations
+
+import sys
+
+from . import __version__
+from .index.build import build_index, load_weight_set
+from .io.fastx import read_all
+from .io.sam import sam_header
+from .map.pipeline import map_file
+from .options import (
+    MM_F_ALL_CHAINS,
+    MM_F_CIGAR,
+    MM_F_COPY_COMMENT,
+    MM_F_EQX,
+    MM_F_FOR_ONLY,
+    MM_F_HARD_MLEVEL,
+    MM_F_LONG_CIGAR,
+    MM_F_NO_DIAG,
+    MM_F_NO_DUAL,
+    MM_F_NO_LJOIN,
+    MM_F_NO_PRINT_2ND,
+    MM_F_OUT_CG,
+    MM_F_OUT_CS,
+    MM_F_OUT_CS_LONG,
+    MM_F_OUT_MD,
+    MM_F_OUT_SAM,
+    MM_F_PAF_NO_HIT,
+    MM_F_REV_ONLY,
+    MM_F_SAM_HIT_ONLY,
+    MM_F_SOFTCLIP,
+    MM_F_SR,
+    IndexOptions,
+    MapOptions,
+    check_options,
+    set_preset,
+    update_mid_occ,
+)
+from .utils.log import phase_log, peakrss, realtime, cputime, warn
+
+
+def _num(s: str) -> int:
+    s = s.strip()
+    mult = 1
+    if s and s[-1] in "kKmMgG":
+        mult = {"k": 10**3, "m": 10**6, "g": 10**9}[s[-1].lower()]
+        s = s[:-1]
+    return int(float(s) * mult)
+
+
+USAGE = """Usage: winnowmap-tpu [options] <target.fa> [query.fa] [...]
+A TPU-native long-read mapper with the capabilities of Winnowmap v2.03.
+Run with no arguments for the option summary; flags mirror the reference
+(see winnowmap --help)."""
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(USAGE, file=sys.stderr)
+        return 1
+
+    io = IndexOptions()
+    mo = MapOptions()
+
+    # first pass: apply preset (reference main.c:146-160)
+    i = 0
+    preset = None
+    while i < len(argv):
+        if argv[i] == "-x" and i + 1 < len(argv):
+            preset = argv[i + 1]
+        elif argv[i].startswith("-x") and len(argv[i]) > 2:
+            preset = argv[i][2:]
+        i += 1
+    if preset is not None:
+        set_preset(preset, io, mo)
+
+    pos = []
+    out_path = None
+    rg = None
+    w_file = None
+    n_threads = 3
+    i = 0
+
+    def take(flag_val=None):
+        nonlocal i
+        if flag_val is not None:
+            return flag_val
+        i += 1
+        if i >= len(argv):
+            raise SystemExit(f"[ERROR] missing argument for {argv[i-1]}")
+        return argv[i]
+
+    while i < len(argv):
+        a = argv[i]
+        if not a.startswith("-") or a == "-":
+            pos.append(a)
+        elif a == "-x":
+            i += 1  # handled in first pass
+        elif a == "-W":
+            w_file = take()
+        elif a == "-k":
+            io.k = int(take())
+        elif a == "-w":
+            io.w = int(take())
+        elif a == "-H":
+            io.flag |= 1
+        elif a == "-I":
+            io.batch_size = _num(take())
+        elif a == "-t":
+            n_threads = int(take())
+        elif a == "-f":
+            v = take()
+            mo.mid_occ_frac = float(v.split(",")[0])
+        elif a == "-g":
+            mo.max_gap = _num(take())
+        elif a == "-G":
+            v = _num(take())
+            mo.max_gap_ref = mo.bw = v
+        elif a == "-F":
+            mo.max_frag_len = _num(take())
+        elif a == "-r":
+            mo.bw = _num(take())
+        elif a == "-n":
+            mo.min_cnt = int(take())
+        elif a == "-m":
+            mo.min_chain_score = int(take())
+        elif a == "-X":
+            mo.flag |= MM_F_ALL_CHAINS | MM_F_NO_DIAG | MM_F_NO_DUAL | MM_F_NO_LJOIN
+        elif a == "-p":
+            mo.pri_ratio = float(take())
+        elif a == "-N":
+            mo.best_n = int(take())
+        elif a == "-P":
+            mo.flag |= MM_F_ALL_CHAINS
+        elif a == "-a":
+            mo.flag |= MM_F_OUT_SAM | MM_F_CIGAR
+        elif a == "-c":
+            mo.flag |= MM_F_OUT_CG | MM_F_CIGAR
+        elif a == "-o":
+            out_path = take()
+        elif a == "-A":
+            mo.a = int(take())
+        elif a == "-B":
+            mo.b = int(take())
+        elif a == "-O":
+            v = take().split(",")
+            mo.q = int(v[0])
+            mo.q2 = int(v[1]) if len(v) > 1 else mo.q2
+        elif a == "-E":
+            v = take().split(",")
+            mo.e = int(v[0])
+            mo.e2 = int(v[1]) if len(v) > 1 else mo.e2
+        elif a == "-z":
+            v = take().split(",")
+            mo.zdrop = _num(v[0])
+            if len(v) > 1:
+                mo.zdrop_inv = _num(v[1])
+        elif a == "-s":
+            mo.min_dp_max = _num(take())
+        elif a == "-L":
+            mo.flag |= MM_F_LONG_CIGAR
+        elif a == "-R":
+            rg = take()
+        elif a == "-y":
+            mo.flag |= MM_F_COPY_COMMENT
+        elif a == "-Y":
+            mo.flag |= MM_F_SOFTCLIP
+        elif a == "-D":
+            mo.flag |= MM_F_NO_DIAG
+        elif a == "-K":
+            mo.mini_batch_size = _num(take())
+        elif a == "-u":
+            v = take()
+            warn("splice junction matching is handled by the splice preset")
+        elif a == "--sv-off":
+            mo.sv_aware = False
+        elif a == "--cs" or a.startswith("--cs="):
+            mo.flag |= MM_F_OUT_CS | MM_F_CIGAR
+            if a.endswith("=long"):
+                mo.flag |= MM_F_OUT_CS_LONG
+        elif a == "--MD":
+            mo.flag |= MM_F_OUT_MD | MM_F_CIGAR
+        elif a == "--eqx":
+            mo.flag |= MM_F_EQX
+        elif a == "--for-only":
+            mo.flag |= MM_F_FOR_ONLY
+        elif a == "--rev-only":
+            mo.flag |= MM_F_REV_ONLY
+        elif a == "--secondary":
+            if take() == "no":
+                mo.flag |= MM_F_NO_PRINT_2ND
+        elif a.startswith("--secondary="):
+            if a.split("=", 1)[1] == "no":
+                mo.flag |= MM_F_NO_PRINT_2ND
+        elif a == "--paf-no-hit":
+            mo.flag |= MM_F_PAF_NO_HIT
+        elif a == "--sam-hit-only":
+            mo.flag |= MM_F_SAM_HIT_ONLY
+        elif a == "--hard-mask-level":
+            mo.flag |= MM_F_HARD_MLEVEL
+        elif a == "--mask-len":
+            mo.mask_len = _num(take())
+        elif a == "-M":
+            mo.mask_level = float(take())
+        elif a == "--version":
+            print(__version__)
+            return 0
+        elif a in ("-h", "--help"):
+            print(USAGE, file=sys.stderr)
+            return 0
+        elif a == "--sr":
+            mo.flag |= MM_F_SR
+        elif a == "--min-occ-floor":
+            mo.min_mid_occ = int(take())
+        elif a == "--max-qlen":
+            mo.max_qlen = _num(take())
+        elif a == "--seed":
+            mo.seed = int(take())
+        elif a == "--no-end-flt":
+            from .options import MM_F_NO_END_FLT
+
+            mo.flag |= MM_F_NO_END_FLT
+        elif a == "--cap-sw-mem":
+            mo.max_sw_mat = _num(take())
+        else:
+            print(f'[ERROR] unknown option in "{a}"', file=sys.stderr)
+            return 1
+        i += 1
+
+    if not pos:
+        print(USAGE, file=sys.stderr)
+        return 1
+    if len(pos) > 1 and not (mo.flag & (MM_F_OUT_SAM | MM_F_OUT_CG | MM_F_OUT_CS | MM_F_OUT_MD)):
+        pass  # PAF without CIGAR is the default
+    check_options(io, mo)
+
+    out = open(out_path, "w") if out_path else sys.stdout
+
+    phase_log("main", "reading downweighted kmers")
+    wset = load_weight_set(w_file, io.k)
+    phase_log("main", f"collected downweighted kmers, no. of kmers read={len(wset)}")
+
+    target = pos[0]
+    queries = pos[1:]
+    records = read_all(target)
+    mi = build_index(records, io.w, io.k, io.flag, wset, bool(io.flag & 1))
+    phase_log("index", mi.stat_line())
+    update_mid_occ(mo, mi)
+
+    if not queries:
+        warn("no query file given; index built only (index dump TBD)")
+        return 0
+
+    if mo.flag & MM_F_OUT_SAM:
+        cl = "winnowmap-tpu " + " ".join(argv)
+        print(sam_header(mi, rg, __version__, cl), file=out)
+
+    n = 0
+    for qf in queries:
+        n += map_file(mi, mo, qf, out=out)
+    phase_log(
+        "main",
+        f"Version: {__version__}; CMD: winnowmap-tpu {' '.join(argv)}",
+    )
+    phase_log(
+        "main",
+        f"Real time: {realtime():.3f} sec; CPU: {cputime():.3f} sec; "
+        f"Peak RSS: {peakrss():.3f} GB",
+    )
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

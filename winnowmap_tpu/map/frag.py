@@ -1,0 +1,302 @@
+"""Per-read mapping orchestration (reference mm_map_frag, src/map.c:279-981).
+
+Two-stage SV-aware (MCAS) mapping: stage 1 maps sampled substrings of the
+read and pools anchors of confident sub-alignments; stage 2 re-chains and
+re-aligns the whole read from the pooled anchor set.  Falls back to the
+vanilla single-pass pipeline when SV-aware mode is off, the read is short,
+or no confident substring mapping was found.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import native
+from ..options import (
+    MM_F_CIGAR,
+    MM_F_ALL_CHAINS,
+    MM_F_HARD_MLEVEL,
+    MM_F_NO_LJOIN,
+    MM_F_SPLICE,
+    MM_F_SR,
+    MapOptions,
+    stage1_options,
+    stage2_options,
+)
+from . import hit as hitmod
+from .align import align_skeleton
+from .esterr import est_err
+from .hit import Reg, set_mapq, set_parent, set_sam_pri, select_sub
+from .seeds import collect_minimizers, collect_seed_hits
+
+U64 = np.uint64
+U32MASK = 0xFFFFFFFF
+
+
+def _x31_hash(s: str) -> int:
+    h = 0
+    for ch in s.encode():
+        h = ((h << 5) - h + ch) & U32MASK
+    return h
+
+
+def _wang_hash(key: int) -> int:
+    key = (key + (~(key << 15) & U32MASK)) & U32MASK
+    key ^= key >> 10
+    key = (key + (key << 3)) & U32MASK
+    key ^= key >> 6
+    key = (key + (~(key << 11) & U32MASK)) & U32MASK
+    key ^= key >> 16
+    return key
+
+
+def _frag_hash(qname: str | None, qlen_sum: int, seed: int) -> int:
+    h = _x31_hash(qname) if qname else 0
+    h ^= (_wang_hash(qlen_sum) + _wang_hash(seed)) & U32MASK
+    h &= U32MASK
+    return _wang_hash(h)
+
+
+def _chain_gaps(opt, is_sr, qlen_sum):
+    """(reference map.c:373-388)"""
+    if is_sr:
+        max_chain_gap_qry = max(qlen_sum, opt.max_gap)
+    else:
+        max_chain_gap_qry = opt.max_gap
+    if opt.max_gap_ref > 0:
+        max_chain_gap_ref = opt.max_gap_ref
+    elif opt.max_frag_len > 0:
+        max_chain_gap_ref = max(opt.max_frag_len - qlen_sum, opt.max_gap)
+    else:
+        max_chain_gap_ref = opt.max_gap
+    min_chain_gap_ref = min(opt.min_gap_ref, max_chain_gap_ref)
+    return max_chain_gap_qry, max_chain_gap_ref, min_chain_gap_ref
+
+
+def chain_post(opt, max_chain_gap_ref, mi, qlen, n_segs, regs, ax, ay):
+    """(reference chain_post, map.c:256-265)"""
+    if not (opt.flag & MM_F_ALL_CHAINS):
+        set_parent(opt.mask_level, opt.mask_len, regs, opt.a * 2 + opt.b,
+                   opt.flag & MM_F_HARD_MLEVEL, opt.alt_drop)
+        if n_segs <= 1:
+            regs = select_sub(opt.pri_ratio, mi.k * 2, opt.best_n, regs)
+        if not (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_NO_LJOIN)):
+            regs = hitmod.join_long(opt, qlen, regs, ax, ay)
+    return regs
+
+
+def align_regs(opt, mi, qlen, seq: bytes, regs, ax, ay):
+    """(reference align_regs, map.c:267-277)"""
+    if not (opt.flag & MM_F_CIGAR):
+        return regs
+    regs, ax, ay = align_skeleton(opt, mi, qlen, seq, regs, ax, ay)
+    if not (opt.flag & MM_F_ALL_CHAINS):
+        set_parent(opt.mask_level, opt.mask_len, regs, opt.a * 2 + opt.b,
+                   opt.flag & MM_F_HARD_MLEVEL, opt.alt_drop)
+        regs = select_sub(opt.pri_ratio, mi.k * 2, opt.best_n, regs)
+        set_sam_pri(regs)
+    return regs
+
+
+@dataclass
+class MapResult:
+    regs: list
+    rep_len: int
+    frag_gap: int
+    # False when the reference leaves rep_len uninitialized on this path
+    # (MCAS success with full read coverage, reference map.c:281 vs 917:
+    # outer rep_len is never written before use -- a reference UB we resolve
+    # to 0).  Tests treat rl/MAPQ as unspecified for such reads.
+    rep_len_defined: bool = True
+
+
+def _pipeline_once(mi, opt, qlen, seq, qname, hash_, run_est_err=True):
+    """One seed->chain->post->align->mapq pass (the shared core of both the
+    vanilla path and each MCAS substring trial, reference map.c:343-470)."""
+    is_sr = bool(opt.flag & MM_F_SR)
+    mvx, mvy = collect_minimizers(opt, mi, [qlen], [seq])
+    sh = collect_seed_hits(opt, opt.mid_occ, mi, qname, mvx, mvy, qlen)
+    max_gap_qry, max_gap_ref, min_gap_ref = _chain_gaps(opt, is_sr, qlen)
+    u, ax, ay = native.chain_dp(
+        sh.ax, sh.ay,
+        max_dist_x=max_gap_ref, min_dist_x=min_gap_ref, max_dist_y=max_gap_qry,
+        bw=opt.bw, max_skip=opt.max_chain_skip, max_iter=opt.max_chain_iter,
+        min_cnt=opt.min_cnt, min_sc=opt.min_chain_score,
+        gap_scale=opt.chain_gap_scale, is_cdna=0, n_segs=1,
+    )
+    # (rechain with a higher occurrence cutoff, reference map.c:391-413, only
+    # fires when opt.max_occ > opt.mid_occ which no preset sets)
+    regs = hitmod.gen_regs(hash_, qlen, u, ax, ay)
+    regs = chain_post(opt, max_gap_ref, mi, qlen, 1, regs, ax, ay)
+    # NB: the reference runs mm_est_err only inside MCAS stage-1 trials
+    # (map.c:426); the final/vanilla pass has it disabled (map.c:928-929),
+    # so the dv: tag is effectively never populated by winnowmap.
+    if not is_sr and run_est_err:
+        est_err(mi, qlen, regs, ax, ay, sh.mini_pos)
+    regs = align_regs(opt, mi, qlen, seq, regs, ax, ay)
+    set_mapq(regs, opt.min_chain_score, opt.a, sh.rep_len, is_sr)
+    return regs, ax, ay, sh.rep_len, max_gap_ref
+
+
+def map_one(mi, opt: MapOptions, seq: bytes, qname: str | None) -> MapResult:
+    """Map a single read (reference mm_map / mm_map_frag for n_segs==1)."""
+    qlen = len(seq)
+    if qlen == 0:
+        return MapResult([], 0, 0)
+
+    if opt.sv_aware and qlen >= opt.sv_aware_min_read_length:
+        return _map_sv_aware(mi, opt, seq, qname)
+    return _map_vanilla(mi, opt, seq, qname)
+
+
+def _map_vanilla(mi, opt, seq, qname, collected=None) -> MapResult:
+    """Single-pass path (reference map.c:848-954; also the fallback when
+    MCAS found no anchors)."""
+    qlen = len(seq)
+    hash_ = _frag_hash(qname, qlen, opt.seed)
+    regs, ax, ay, rep_len, frag_gap = _pipeline_once(
+        mi, opt, qlen, seq, qname, hash_, run_est_err=False
+    )
+    return MapResult(regs, rep_len, frag_gap)
+
+
+def _stage2_chain(mi, opt3, qlen, seq, qname, ax_in, ay_in, rep_len,
+                  rep_len_defined=True):
+    """Stage-2 chain/align from a pooled anchor set (reference
+    map.c:848-954 with pre-collected anchors)."""
+    is_sr = bool(opt3.flag & MM_F_SR)
+    hash_ = _frag_hash(qname, qlen, opt3.seed)
+    max_gap_qry, max_gap_ref, min_gap_ref = _chain_gaps(opt3, is_sr, qlen)
+    u, ax, ay = native.chain_dp(
+        ax_in, ay_in,
+        max_dist_x=max_gap_ref, min_dist_x=min_gap_ref, max_dist_y=max_gap_qry,
+        bw=opt3.bw, max_skip=opt3.max_chain_skip, max_iter=opt3.max_chain_iter,
+        min_cnt=opt3.min_cnt, min_sc=opt3.min_chain_score,
+        gap_scale=opt3.chain_gap_scale, is_cdna=0, n_segs=1,
+    )
+    regs = hitmod.gen_regs(hash_, qlen, u, ax, ay)
+    regs = chain_post(opt3, max_gap_ref, mi, qlen, 1, regs, ax, ay)
+    # stage 2 skips mm_est_err (reference map.c:928-929 commented out)
+    regs = align_regs(opt3, mi, qlen, seq, regs, ax, ay)
+    set_mapq(regs, opt3.min_chain_score, opt3.a, rep_len, is_sr)
+    return MapResult(regs, rep_len, max_gap_ref, rep_len_defined)
+
+
+def _map_sv_aware(mi, opt, seq, qname) -> MapResult:
+    """Two-stage MCAS mapping (reference map.c:314-954)."""
+    qlen = len(seq)
+    opt2 = stage1_options(opt)
+    n_starts = 1 + math.ceil(qlen / opt2.suffix_sample_offset)
+    collect_ax: list[np.ndarray | None] = [None] * n_starts
+    collect_ay: list[np.ndarray | None] = [None] * n_starts
+    seq_mapped = np.zeros(qlen, dtype=bool)
+
+    for suffix_id in range(n_starts):
+        sub_begin = suffix_id * opt2.suffix_sample_offset
+        if sub_begin >= qlen:
+            sub_begin = qlen - 1
+        found = False
+        sub_len = opt2.min_prefix_length
+        while sub_len <= opt2.max_prefix_length:
+            # substring to the right of sub_begin
+            if sub_begin + sub_len <= qlen:
+                found, n_regs0 = _mcas_try(
+                    mi, opt2, seq, qname, sub_begin, sub_len, False, qlen,
+                    collect_ax, collect_ay, seq_mapped, suffix_id,
+                )
+                if found or not n_regs0:
+                    break
+            # substring to the left of sub_begin
+            if sub_begin - sub_len + 1 >= 0:
+                found, n_regs0 = _mcas_try(
+                    mi, opt2, seq, qname, sub_begin, sub_len, True, qlen,
+                    collect_ax, collect_ay, seq_mapped, suffix_id,
+                )
+                if found or not n_regs0:
+                    break
+            sub_len = int(sub_len * opt2.prefix_increment_factor)
+
+    opt3 = stage2_options(opt)
+
+    # pool + dedupe anchors (reference map.c:732-781)
+    pooled = [
+        (collect_ax[i], collect_ay[i])
+        for i in range(n_starts)
+        if collect_ax[i] is not None and len(collect_ax[i]) > 0
+    ]
+    rep_len = 0
+    rep_len_defined = False
+    if pooled:
+        ax = np.concatenate([p[0] for p in pooled])
+        ay = np.concatenate([p[1] for p in pooled])
+        order = np.lexsort((ay, ax))
+        ax, ay = ax[order], ay[order]
+        keep = np.ones(len(ax), dtype=bool)
+        if len(ax) > 1:
+            keep[1:] = (ax[1:] != ax[:-1]) | (ay[1:] != ay[:-1])
+        ax, ay = ax[keep], ay[keep]
+        # already sorted by (x, y); reference re-sorts by x (stable) which
+        # preserves this order
+        if len(ax) < opt3.min_cnt:
+            ax = ay = None
+    else:
+        ax = ay = None
+
+    # collect additional anchors from unmapped intervals (reference
+    # map.c:788-845)
+    if ax is not None and not seq_mapped.all():
+        masked = bytearray(seq)
+        for i in np.nonzero(seq_mapped)[0]:
+            masked[i] = ord("N")
+        mvx, mvy = collect_minimizers(opt3, mi, [qlen], [bytes(masked)])
+        sh = collect_seed_hits(opt3, opt3.mid_occ, mi, qname, mvx, mvy, qlen)
+        rep_len = sh.rep_len
+        rep_len_defined = True
+        ax = np.concatenate([ax, sh.ax])
+        ay = np.concatenate([ay, sh.ay])
+        order = np.argsort(ax, kind="stable")
+        ax, ay = ax[order], ay[order]
+
+    if ax is None:  # MCAS unusable: vanilla fallback with original options
+        return _map_vanilla(mi, opt, seq, qname)
+    return _stage2_chain(mi, opt3, qlen, seq, qname, ax, ay, rep_len,
+                         rep_len_defined)
+
+
+def _mcas_try(mi, opt2, seq, qname, sub_begin, sub_len, left, qlen,
+              collect_ax, collect_ay, seq_mapped, suffix_id):
+    """Try mapping one substring; on success save its shifted anchors
+    (reference map.c:346-515 right, 518-687 left)."""
+    if left:
+        start = sub_begin - sub_len + 1
+    else:
+        start = sub_begin
+    sub = seq[start : start + sub_len]
+    hash_ = _frag_hash(qname, sub_len, opt2.seed)
+    regs0, ax, ay, rep_len, _ = _pipeline_once(
+        mi, opt2, sub_len, sub, qname, hash_, run_est_err=True
+    )
+    n_regs0 = len(regs0)
+    for r in regs0:
+        if r.mapq >= opt2.min_mapq and r.blen >= opt2.min_qcov * sub_len and r.cnt > 0:
+            sel_ax = ax[r.as_ : r.as_ + r.cnt].copy()
+            sel_ay = ay[r.as_ : r.as_ + r.cnt].copy()
+            # shift anchor query coordinates into whole-read space
+            # (reference map.c:486-496 / 658-668)
+            rev_mask = (sel_ax >> U64(63)).astype(bool)
+            if left:
+                shift_fwd = sub_begin - sub_len + 1
+                shift_rev = (qlen - 1) - sub_begin
+            else:
+                shift_fwd = sub_begin
+                shift_rev = qlen - sub_begin - sub_len
+            sel_ay = sel_ay + np.where(
+                rev_mask, np.uint64(shift_rev), np.uint64(shift_fwd)
+            )
+            collect_ax[suffix_id] = sel_ax
+            collect_ay[suffix_id] = sel_ay
+            seq_mapped[start : start + sub_len] = True
+            return True, n_regs0
+    return False, n_regs0
