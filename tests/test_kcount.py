@@ -1,0 +1,100 @@
+"""k-mer counter parity with meryl (reference ext/meryl).
+
+Goldens were produced by the reference meryl on a single-line FASTA: the
+vendored meryl drops k-mers spanning FASTA line breaks (verified: 70-col
+wrapping loses exactly 2 x n_linebreaks k-mers), so the wrapped-input counts
+differ; ours are the mathematically correct ones and match meryl on
+unwrapped input byte-for-byte.
+"""
+import hashlib
+
+import numpy as np
+import pytest
+
+from winnowmap_tpu.kcount import KmerCounts, count_kmers, lookup, seq_to_kmers
+
+
+@pytest.fixture(scope="module")
+def counts(ref_records):
+    return count_kmers(ref_records, 15)
+
+
+def test_histogram_matches_meryl(golden_dir, counts):
+    vals, occ = counts.histogram()
+    gold = [tuple(map(int, l.split())) for l in open(golden_dir / "golden_meryl_histogram.txt")]
+    assert list(zip(vals.tolist(), occ.tolist())) == gold
+
+
+def test_print_md5_matches_meryl(golden_dir, counts):
+    h = hashlib.md5()
+    for line in counts.print_lines():
+        h.update(line.encode())
+        h.update(b"\n")
+    assert h.hexdigest() == (golden_dir / "golden_meryl_print.md5").read_text().strip()
+
+
+def test_distinct_threshold_filter(golden_dir, counts):
+    thr = counts.threshold_distinct(0.9998)
+    got = list(counts.greater_than(thr).print_lines())
+    gold = (golden_dir / "golden_meryl_rep_distinct9998.txt").read_text().splitlines()
+    assert got == gold
+
+
+def test_greater_than_filter(golden_dir, counts):
+    got = list(counts.greater_than(4).print_lines())
+    gold = (golden_dir / "golden_meryl_gt4.txt").read_text().splitlines()
+    assert got == gold
+
+
+def test_canonicalization_meryl_order():
+    # meryl's encoding is A=0,C=1,T=2,G=3: canonical of "AT..." vs revcomp
+    ks = seq_to_kmers(b"TGACTGGCGCCAGTC", 15)
+    assert len(ks) == 1
+    kc = KmerCounts(15, ks, np.array([1]))
+    assert kc.decode(int(ks[0])) == "TGACTGGCGCCAGTC"
+
+
+def test_line_spanning_kmers_counted(ref_records):
+    # total k-mer windows = sum(len - k + 1): nothing lost at line breaks
+    counts = count_kmers(ref_records, 15)
+    expect = sum(len(r.seq) - 14 for r in ref_records)
+    assert counts.n_total == expect
+
+
+def test_set_algebra(ref_records):
+    a = count_kmers(ref_records[:1], 11)
+    b = count_kmers(ref_records[1:], 11)
+    u = a.union_sum(b)
+    both = count_kmers(ref_records, 11)
+    assert np.array_equal(u.kmers, both.kmers)
+    assert np.array_equal(u.counts, both.counts)
+    i = a.intersect_min(b)
+    assert (np.isin(i.kmers, a.kmers)).all() and (np.isin(i.kmers, b.kmers)).all()
+    d = a.difference(b)
+    assert not np.isin(d.kmers, b.kmers).any()
+    s = both.subtract(a)
+    assert np.array_equal(s.kmers, b.kmers) and np.array_equal(s.counts, b.counts)
+
+
+def test_lookup(ref_records):
+    counts = count_kmers(ref_records, 15)
+    res = lookup(counts, ref_records[0].seq[:1000])
+    assert len(res) == 1000 - 14
+    assert (res >= 1).all()  # every genome k-mer is present
+
+
+def test_db_roundtrip(tmp_path, counts):
+    counts.save(str(tmp_path / "db"))
+    back = KmerCounts.load(str(tmp_path / "db"))
+    assert back.k == counts.k
+    assert np.array_equal(back.kmers, counts.kmers)
+    assert np.array_equal(back.counts, counts.counts)
+
+
+def test_device_counting_matches_host(ref_records):
+    from winnowmap_tpu.kcount.device import count_kmers_device
+
+    host = count_kmers(ref_records, 15)
+    dev = count_kmers_device(ref_records, 15)
+    assert np.array_equal(host.kmers, dev.kmers)
+    assert np.array_equal(host.counts, dev.counts)

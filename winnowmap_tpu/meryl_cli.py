@@ -1,0 +1,163 @@
+"""meryl-compatible command line (reference ext/meryl/src/meryl/meryl.C).
+
+Supports the winnowmap workflow and the common set-algebra surface:
+
+  meryl-tpu count k=15 output DB in.fa
+  meryl-tpu print greater-than distinct=0.9998 DB  > repetitive_k15.txt
+  meryl-tpu print DB
+  meryl-tpu histogram DB
+  meryl-tpu statistics DB
+  meryl-tpu [print] union-sum DB1 DB2 [output DB3]
+  meryl-tpu [print] intersect-min DB1 DB2
+  meryl-tpu [print] subtract DB1 DB2
+  meryl-tpu [print] difference DB1 DB2
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+from .io.fastx import read_all
+from .kcount import KmerCounts, count_kmers
+from .utils.log import phase_log
+
+FILTERS = {
+    "greater-than": "greater_than",
+    "less-than": "less_than",
+    "at-least": "at_least",
+    "at-most": "at_most",
+    "equal-to": "equal_to",
+    "not-equal-to": "not_equal_to",
+}
+BINOPS = {
+    "union-sum": "union_sum",
+    "union": "union_sum",
+    "intersect-min": "intersect_min",
+    "intersect": "intersect_min",
+    "subtract": "subtract",
+    "difference": "difference",
+}
+
+
+def _is_db(path: str) -> bool:
+    return os.path.isdir(path) and os.path.exists(os.path.join(path, "counts.npz"))
+
+
+def _load_or_err(path: str) -> KmerCounts:
+    if not _is_db(path):
+        raise SystemExit(f"ERROR: '{path}' is not a meryl-tpu database")
+    return KmerCounts.load(path)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = list(sys.argv[1:] if argv is None else argv)
+    if not args:
+        print(__doc__, file=sys.stderr)
+        return 1
+
+    do_print = False
+    out_db = None
+    use_device = os.environ.get("WM_KCOUNT_DEVICE", "0") == "1"
+
+    i = 0
+    op = None
+    filt = None
+    filt_arg = None
+    k = None
+    inputs = []
+    while i < len(args):
+        a = args[i]
+        if a == "count":
+            op = "count"
+        elif a == "print":
+            do_print = True
+        elif a in ("histogram", "statistics"):
+            op = a
+        elif a in FILTERS:
+            filt = FILTERS[a]
+            i += 1
+            filt_arg = args[i]
+        elif a in BINOPS:
+            op = BINOPS[a]
+        elif a.startswith("k="):
+            k = int(a[2:])
+        elif a.startswith("memory=") or a.startswith("threads="):
+            pass  # accepted for CLI compatibility; sizing is automatic here
+        elif a == "output":
+            i += 1
+            out_db = args[i]
+        else:
+            inputs.append(a)
+        i += 1
+
+    if op == "count":
+        if k is None:
+            raise SystemExit("ERROR: count needs k=<size>")
+        recs = []
+        for f in inputs:
+            recs.extend(read_all(f))
+        kc = count_kmers(recs, k, use_device=use_device)
+        phase_log(
+            "meryl",
+            f"counted {kc.n_total} total / {kc.n_distinct} distinct {k}-mers",
+        )
+        if out_db:
+            kc.save(out_db)
+        if do_print:
+            _emit(kc, filt, filt_arg)
+        return 0
+
+    if op in ("histogram", "statistics"):
+        kc = _load_or_err(inputs[0])
+        vals, occ = kc.histogram()
+        if op == "histogram":
+            for v, o in zip(vals.tolist(), occ.tolist()):
+                print(f"{v}\t{o}")
+        else:
+            uniq = int(occ[vals == 1][0]) if (vals == 1).any() else 0
+            print(f"Number of {kc.k}-mers that are:")
+            print(f"  unique   {uniq:>20}")
+            print(f"  distinct {kc.n_distinct:>20}")
+            print(f"  present  {kc.n_total:>20}")
+        return 0
+
+    if op in BINOPS.values():
+        dbs = [_load_or_err(p) for p in inputs]
+        if len(dbs) < 2:
+            raise SystemExit(f"ERROR: {op} needs two databases")
+        kc = getattr(dbs[0], op)(dbs[1])
+        for extra in dbs[2:]:
+            kc = getattr(kc, op)(extra)
+        if out_db:
+            kc.save(out_db)
+        if do_print:
+            _emit(kc, filt, filt_arg)
+        return 0
+
+    # bare print / filtered print over a database
+    if do_print or filt:
+        kc = _load_or_err(inputs[0])
+        _emit(kc, filt, filt_arg)
+        return 0
+
+    print(__doc__, file=sys.stderr)
+    return 1
+
+
+def _emit(kc: KmerCounts, filt, filt_arg) -> None:
+    if filt is not None:
+        if filt_arg.startswith("distinct="):
+            thr = kc.threshold_distinct(float(filt_arg.split("=", 1)[1]))
+        elif filt_arg.startswith("word-frequency="):
+            thr = kc.threshold_word_freq(float(filt_arg.split("=", 1)[1]))
+        else:
+            thr = int(filt_arg)
+        kc = getattr(kc, filt)(thr)
+    w = sys.stdout.write
+    for line in kc.print_lines():
+        w(line)
+        w("\n")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
