@@ -257,9 +257,26 @@ void wm_extz(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
         max_H = H[en0] = en0 > 0 ? H[en0 - 1] + (int32_t)u[en0] - qe
                                  : H[en0] + (int32_t)v[en0] - qe;
         max_t = en0;
-        for (int t = st0; t < en0; ++t) {
-          H[t] += (int32_t)v[t] - qe;
-          if (H[t] > max_H) max_H = H[t], max_t = t;
+        // 4-lane strided max like the SIMD reference: per-lane running
+        // maxima are combined lane 0..3 with strict >, then a scalar tail.
+        // This changes which t wins a tied maximum (lane order, not
+        // ascending t), and the tie choice is observable via max_q/max_t.
+        {
+          int en1 = st0 + (en0 - st0) / 4 * 4;
+          int32_t HH[4], tt[4];
+          for (int l = 0; l < 4; ++l) HH[l] = max_H, tt[l] = max_t;
+          int t = st0;
+          for (; t < en1; t += 4)
+            for (int l = 0; l < 4; ++l) {
+              H[t + l] += (int32_t)v[t + l] - qe;
+              if (H[t + l] > HH[l]) HH[l] = H[t + l], tt[l] = t + l;
+            }
+          for (int l = 0; l < 4; ++l)
+            if (HH[l] > max_H) max_H = HH[l], max_t = tt[l];
+          for (; t < en0; ++t) {
+            H[t] += (int32_t)v[t] - qe;
+            if (H[t] > max_H) max_H = H[t], max_t = t;
+          }
         }
       } else {
         H[0] = (int32_t)v[0] - qe - qe;
@@ -497,9 +514,23 @@ void wm_extd(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
         max_H = H[en0] = en0 > 0 ? H[en0 - 1] + (int32_t)u[en0]
                                  : H[en0] + (int32_t)v[en0];
         max_t = en0;
-        for (int t = st0; t < en0; ++t) {
-          H[t] += (int32_t)v[t];
-          if (H[t] > max_H) max_H = H[t], max_t = t;
+        // 4-lane strided max (see wm_extz for why the lane order matters)
+        {
+          int en1 = st0 + (en0 - st0) / 4 * 4;
+          int32_t HH[4], tt[4];
+          for (int l = 0; l < 4; ++l) HH[l] = max_H, tt[l] = max_t;
+          int t = st0;
+          for (; t < en1; t += 4)
+            for (int l = 0; l < 4; ++l) {
+              H[t + l] += (int32_t)v[t + l];
+              if (H[t + l] > HH[l]) HH[l] = H[t + l], tt[l] = t + l;
+            }
+          for (int l = 0; l < 4; ++l)
+            if (HH[l] > max_H) max_H = HH[l], max_t = tt[l];
+          for (; t < en0; ++t) {
+            H[t] += (int32_t)v[t];
+            if (H[t] > max_H) max_H = H[t], max_t = t;
+          }
         }
       } else {
         H[0] = (int32_t)v[0] - qe;
@@ -665,6 +696,34 @@ int wm_sw_i16(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
   *qe_out = qe;
   *te_out = te;
   return gmax;
+}
+
+// ---------------------------------------------------------------------------
+// Traceback over an externally-produced direction matrix (the TPU kernel
+// writes per-anti-diagonal direction bytes; the path walk is sequential and
+// stays on host).  Layout matches the in-process kernels: row r holds lanes
+// [off[r], off[r] + n_col).
+// ---------------------------------------------------------------------------
+int wm_backtrack_band(const uint8_t* p, const int32_t* off,
+                      const int32_t* off_end, int64_t n_col, int i0, int j0,
+                      int rev_cigar, uint32_t** out_cigar) {
+  CigarBuf cb;
+  std::vector<int> off_v, off_end_v;
+  int rmax = i0 + j0 + 1;
+  off_v.reserve(rmax);
+  off_end_v.reserve(rmax);
+  for (int r = 0; r < rmax; ++r) {
+    off_v.push_back(off[r]);
+    off_end_v.push_back(off_end[r]);
+  }
+  traceback(p, off_v.data(), off_end_v.data(), (size_t)n_col, i0, j0, rev_cigar,
+            &cb);
+  *out_cigar = nullptr;
+  if (!cb.ops.empty()) {
+    *out_cigar = (uint32_t*)wm_malloc(sizeof(uint32_t) * cb.ops.size());
+    std::memcpy(*out_cigar, cb.ops.data(), sizeof(uint32_t) * cb.ops.size());
+  }
+  return (int)cb.ops.size();
 }
 
 }  // extern "C"
