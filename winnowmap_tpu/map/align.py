@@ -112,6 +112,17 @@ def _update_max_zdrop(score, i, j, state, e):
 def test_zdrop(opt, qseq, tseq, cigar, mat) -> int:
     """Z-drop inspection + inversion probe (reference mm_test_zdrop,
     align.c:47-89).  Returns 0 (ok), 1 (z-dropped), 2 (inversion)."""
+    return native.test_zdrop(
+        qseq, tseq, cigar, mat, q=opt.q, e=opt.e, zdrop=opt.zdrop,
+        zdrop_inv=opt.zdrop_inv, max_gap=opt.max_gap,
+        min_inv_score=opt.min_chain_score * opt.a, min_dp_max=opt.min_dp_max,
+        try_inv=not (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_FOR_ONLY
+                                 | MM_F_REV_ONLY)),
+    )
+
+
+def test_zdrop_py(opt, qseq, tseq, cigar, mat) -> int:
+    """Pure-Python oracle for wm_test_zdrop (kept for differential tests)."""
     state = [-(2**31), -1, -1, 0, -1, -1, -1, -1]
     score = 0
     i = j = 0
@@ -275,6 +286,22 @@ def _update_cigar_eqx(r: Reg, qseq, tseq) -> None:
 def update_extra(r: Reg, qseq, tseq, mat, q, e, is_eqx) -> None:
     """Recompute dp_max/blen/mlen from the final CIGAR
     (reference mm_update_extra, align.c:240-286)."""
+    p = r.p
+    if p is None:
+        return
+    new_cigar, f = native.update_extra(
+        qseq, tseq, p.cigar, mat, q, e, is_eqx,
+        qs=r.qs, qe=r.qe, rs=r.rs, re=r.re, rev=r.rev,
+    )
+    r.qs, r.qe, r.rs, r.re = f["qs"], f["qe"], f["rs"], f["re"]
+    r.blen, r.mlen = f["blen"], f["mlen"]
+    p.n_ambi += f["n_ambi"]
+    p.dp_max = f["dp_max"]
+    p.cigar = new_cigar
+
+
+def update_extra_py(r: Reg, qseq, tseq, mat, q, e, is_eqx) -> None:
+    """Pure-Python oracle for wm_update_extra (kept for differential tests)."""
     p = r.p
     if p is None:
         return

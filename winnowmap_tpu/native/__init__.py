@@ -18,7 +18,8 @@ import numpy as np
 
 _SRC_DIR = Path(__file__).parent / "src"
 _BUILD_DIR = Path(__file__).parent / "_build"
-_SOURCES = ["wm_ksw.cpp", "wm_chain.cpp", "wm_sketch.cpp", "wm_fastx.cpp"]
+_SOURCES = ["wm_ksw.cpp", "wm_chain.cpp", "wm_sketch.cpp", "wm_fastx.cpp",
+            "wm_cigar.cpp"]
 
 
 def _lib_path() -> Path:
@@ -56,6 +57,19 @@ class _ExtResult(ctypes.Structure):
         ("reach_end", ctypes.c_int32),
         ("n_cigar", ctypes.c_int32),
         ("cigar", ctypes.POINTER(ctypes.c_uint32)),
+    ]
+
+
+class _ExtraIO(ctypes.Structure):
+    _fields_ = [
+        ("qs", ctypes.c_int32), ("qe", ctypes.c_int32),
+        ("rs", ctypes.c_int32), ("re", ctypes.c_int32),
+        ("rev", ctypes.c_int32),
+        ("blen", ctypes.c_int32), ("mlen", ctypes.c_int32),
+        ("n_ambi", ctypes.c_int32), ("dp_max", ctypes.c_int32),
+        ("n_cigar", ctypes.c_int32),
+        ("cigar", ctypes.POINTER(ctypes.c_uint32)),
+        ("qshift", ctypes.c_int32), ("tshift", ctypes.c_int32),
     ]
 
 
@@ -110,6 +124,20 @@ def lib() -> ctypes.CDLL:
         L.wm_encode_kmer.restype = ctypes.c_uint64
         L.wm_free.argtypes = [ctypes.c_void_p]
         L.wm_free.restype = None
+
+        L.wm_test_zdrop.argtypes = [
+            u8p, u8p, np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_int32, i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        L.wm_test_zdrop.restype = ctypes.c_int
+        L.wm_update_extra.argtypes = [
+            u8p, u8p, np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_int32, i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(_ExtraIO),
+        ]
+        L.wm_update_extra.restype = None
 
         L.wm_fastx_open.argtypes = [ctypes.c_char_p]
         L.wm_fastx_open.restype = ctypes.c_void_p
@@ -243,3 +271,41 @@ def sketch(seq: bytes, w: int, k: int, rid: int, is_hpc: bool,
 
 def encode_kmer(s: bytes) -> int:
     return int(lib().wm_encode_kmer(s, len(s)))
+
+
+def test_zdrop(qseq, tseq, cigar, mat, *, q, e, zdrop, zdrop_inv, max_gap,
+               min_inv_score, min_dp_max, try_inv) -> int:
+    """Z-drop inspection + inversion probe (reference mm_test_zdrop,
+    align.c:47-89).  Returns 0 (keep), 1 (z-dropped), 2 (inversion)."""
+    L = lib()
+    qseq = np.ascontiguousarray(qseq, dtype=np.uint8)
+    tseq = np.ascontiguousarray(tseq, dtype=np.uint8)
+    cigar = np.ascontiguousarray(cigar, dtype=np.uint32)
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    return L.wm_test_zdrop(qseq, tseq, cigar, len(cigar), mat, q, e, zdrop,
+                           zdrop_inv, max_gap, min_inv_score, min_dp_max,
+                           int(try_inv))
+
+
+def update_extra(qseq, tseq, cigar, mat, q, e, is_eqx, *, qs, qe, rs, re, rev):
+    """CIGAR normalisation + blen/mlen/dp_max recompute (reference
+    mm_update_extra, align.c:240-286 incl. mm_fix_cigar and eqx expansion).
+    Returns (new_cigar, dict of updated fields)."""
+    L = lib()
+    qseq = np.ascontiguousarray(qseq, dtype=np.uint8)
+    tseq = np.ascontiguousarray(tseq, dtype=np.uint8)
+    cigar = np.ascontiguousarray(cigar, dtype=np.uint32)
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    io = _ExtraIO(qs=qs, qe=qe, rs=rs, re=re, rev=int(rev))
+    L.wm_update_extra(qseq, tseq, cigar, len(cigar), mat, q, e, int(is_eqx),
+                      ctypes.byref(io))
+    if io.n_cigar:
+        new_cigar = np.ctypeslib.as_array(io.cigar, (io.n_cigar,)).copy()
+        L.wm_free(io.cigar)
+    else:
+        new_cigar = np.zeros(0, dtype=np.uint32)
+    return new_cigar, {
+        "qs": io.qs, "qe": io.qe, "rs": io.rs, "re": io.re,
+        "blen": io.blen, "mlen": io.mlen, "n_ambi": io.n_ambi,
+        "dp_max": io.dp_max,
+    }
