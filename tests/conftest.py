@@ -41,3 +41,9 @@ def index(ref_records, weight_set):
     from winnowmap_tpu.index.build import build_index
 
     return build_index(ref_records, w=50, k=15, weight_set=weight_set)
+
+
+def pytest_configure(config):
+    import winnowmap_tpu
+
+    winnowmap_tpu.enable_compile_cache()

@@ -1,0 +1,81 @@
+"""Pallas TPU kernel bit-exactness vs the native oracle (subprocess: the
+in-process test session pins JAX to the CPU mesh).  Covers the DP wavefront
+(exact + approx modes), device traceback, and the DevCall end-to-end path
+with per-row band widths."""
+import os
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+SCRIPT = textwrap.dedent("""
+    import sys
+    sys.path.insert(0, {repo!r})
+    import winnowmap_tpu
+    winnowmap_tpu.enable_compile_cache()
+    import numpy as np
+    import winnowmap_tpu.native as native
+    from winnowmap_tpu.extend.pallas_kernel import DevCall
+    from winnowmap_tpu.map.align import gen_simple_mat
+
+    MAT = gen_simple_mat(2, 4, 1)
+    rng = np.random.default_rng(3)
+
+    def mutate(q, sub, ind):
+        out = []
+        i = 0
+        while i < len(q):
+            r = rng.random()
+            if r < ind / 2:
+                i += 1
+                continue
+            if r < ind:
+                out.append(rng.integers(0, 4))
+                continue
+            if r < ind + sub:
+                out.append((q[i] + 1 + rng.integers(0, 3)) % 4)
+            else:
+                out.append(q[i])
+            i += 1
+        return np.array(out, dtype=np.uint8)
+
+    qs, ts = [], []
+    for _ in range(16):
+        n = int(rng.integers(80, 600))
+        t = rng.integers(0, 4, n).astype(np.uint8)
+        qs.append(mutate(t, 0.06, 0.06))
+        ts.append(t)
+
+    for flag, w, zd, eb in [(0x42 | 0x80, 751, 400, 10), (0x08, 500, 400, -1)]:
+        ws = [w if i % 2 == 0 else max(64, w - 100) for i in range(len(qs))]
+        ezs = DevCall(qs, ts, MAT, 4, 2, 24, 1, ws, zd, eb, flag).collect()
+        for i in range(len(qs)):
+            h = native.extd(qs[i], ts[i], MAT, 4, 2, 24, 1, ws[i], zd, eb,
+                            flag)
+            d = ezs[i]
+            assert (h.max, int(h.zdropped), h.max_q, h.max_t, h.mqe, h.mqe_t,
+                    h.score, int(h.reach_end)) == (
+                d.max, int(d.zdropped), d.max_q, d.max_t, d.mqe, d.mqe_t,
+                d.score, int(d.reach_end)), (flag, i)
+            assert np.array_equal(d.cigar, h.cigar), (flag, i)
+    print("PALLAS-ORACLE-OK")
+""")
+
+
+@pytest.mark.skipif(os.environ.get("WM_SKIP_TPU_TESTS") == "1",
+                    reason="TPU tests disabled")
+def test_pallas_kernels_match_oracle_tpu():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT.format(repo=str(REPO))],
+        capture_output=True, text=True, timeout=1200, env=env,
+    )
+    if proc.returncode != 0 and "No TPU" in proc.stderr:
+        pytest.skip("no TPU available")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "PALLAS-ORACLE-OK" in proc.stdout

@@ -6,3 +6,21 @@ seed chaining, banded affine-gap base alignment, SV-aware two-stage (MCAS)
 mapping, SAM/PAF output, and a meryl-equivalent k-mer counter.
 """
 __version__ = "0.1.0"
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache so the Pallas kernel
+    variants (one per shape bucket / mode) compile once per machine, not
+    once per process.  Called by the CLI, bench, and test entry points."""
+    import os
+
+    import jax
+
+    path = path or os.environ.get(
+        "WM_COMPILE_CACHE", os.path.expanduser("~/.cache/winnowmap_tpu_jit"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # older jax without these knobs: best-effort only
+        pass

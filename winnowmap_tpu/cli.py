@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import sys
 
-from . import __version__
+from . import __version__, enable_compile_cache
 from .index.build import build_index, load_weight_set
 from .io.fastx import read_all
 from .io.sam import sam_header
@@ -64,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
         print(USAGE, file=sys.stderr)
         return 1
 
+    enable_compile_cache()
     io = IndexOptions()
     mo = MapOptions()
 

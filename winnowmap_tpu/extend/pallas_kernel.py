@@ -1,0 +1,1043 @@
+"""Pallas TPU wavefront kernels for banded affine-gap extension DP.
+
+Production TPU re-expression of the reference anti-diagonal difference-form
+DP (reference src/ksw2_extd2_sse.c, src/ksw2_extz2_sse.c): one pallas_call
+advances a tile of alignments one anti-diagonal per grid step with all band
+state resident in VMEM, bit-identical to the host oracle (winnowmap_tpu/
+native wm_extd/wm_extz) including the 16-lane band rounding and the
+4-lane-strided row-max tie behaviour.
+
+Layout tricks that make this TPU-shaped (no per-row gathers at all):
+
+* Common-trajectory window.  All alignments in a tile share the window
+  [base_w(r), base_w(r)+Wb) where base_w(r) = floor16(max(0, r-Lq+1,
+  (r-w+1)>>1)) - 16 depends only on the *bucket* maxima (Lq, w), never on
+  the row.  Each row's true rounded band [st_i, en_i] (reference
+  ksw2_extd2_sse.c:150-160 semantics) lives inside it; per-row lane masks
+  reproduce exactly the reference's update pattern, so cells outside a
+  row's rounded band freeze (or stay at init) precisely like the SIMD
+  kernel's sliding window, including the boundary-value rules.
+
+* Right-aligned reversed queries.  Storing each reversed query at buffer
+  offset QOFF - qlen_i makes the per-diagonal score feed
+  q[qlen_i-1-r+t] a single dynamic slice at offset QOFF-1-r+base_w(r),
+  shared by every row in the tile.
+
+* Rank-packed row max.  The reference's 4-lane-strided max tie order
+  (stride-0 first, min-t within stride, tail last) is encoded into
+  K = H*4096 + (4095 - rank) so one max-reduce + one masked reduce
+  recover (max_H, max_t) with the exact SSE tie winner.
+
+The direction bytes stream to HBM in the same banded layout the host
+backtracker consumes (wm_backtrack_band2: per-row st/en plus the shared
+base offset).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+NEG_INF = -0x40000000
+H_CLAMP = -(1 << 17)  # clamp for rank packing; real scores stay above this
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
+                       W_MAX, approx_max, right_gaps, with_cigar, approx_drop,
+                       sc_mch, sc_mis, sc_n):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i8 = jnp.int8
+    i16 = jnp.int16
+    i32 = jnp.int32
+    u8 = jnp.uint8
+    qe = q + e
+    init_xy = np.int8(-(q + e))
+    init_xy2 = np.int8(-(q2 + e2))
+    if e != e2:
+        long_thres = (q2 - q) // (e - e2) - 1
+    else:
+        long_thres = 0
+    if q2 + e2 + long_thres * e2 > q + e + long_thres * e:
+        long_thres += 1
+    long_diff = np.int8(long_thres * (e - e2) - (q2 - q) - e2)
+    S_STRIDE = Wb // 4 + 2  # rank stride; rank fits 12 bits for Wb <= 3000
+    assert 4 * S_STRIDE + Wb + 8 < 4096
+    assert R * max(e, e2) + q + q2 < -H_CLAMP, "score range vs rank packing"
+
+    def basefn(r):
+        st0c = jnp.maximum(jnp.maximum(0, r - Lq + 1), (r - W_MAX + 1) >> 1)
+        return (st0c // 16) * 16 - 16
+
+    def ubound(r):
+        # u[r]/v1 boundary value at t == r (reference ksw2_extd2_sse.c:150-155)
+        return jnp.where(
+            r == 0, jnp.int32(init_xy),
+            jnp.where(r < long_thres, jnp.int32(-e),
+                      jnp.where(r == long_thres, jnp.int32(long_diff),
+                                jnp.int32(-e2))),
+        ).astype(i32)
+
+    # acc lanes: 0 mx, 1 zdr, 2 max_q, 3 max_t, 4 mqe, 5 mqe_t, 6 mte,
+    # 7 mte_q, 8 score, 9 H0, 10 lH0t, 11 done
+    IDX = {k: v for v, k in enumerate(
+        "mx zdr max_q max_t mqe mqe_t mte mte_q score H0 lH0t done".split())}
+
+    def kernel(qbuf_ref, sf_ref, qlen_ref, tlen_ref, w_ref, zdrop_ref,
+               *rest):
+        if with_cigar:
+            res_ref, dirs_ref, u_s, v_s, x_s, y_s, x2_s, y2_s, \
+                s_s, H_s, acc_s = rest
+        else:
+            res_ref, u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, H_s, acc_s = rest
+            dirs_ref = None
+        r = pl.program_id(1)
+
+        @pl.when(r == 0)
+        def _init():
+            u_s[:] = jnp.full((TB, Wb), init_xy, i8)
+            v_s[:] = jnp.full((TB, Wb), init_xy, i8)
+            x_s[:] = jnp.full((TB, Wb), init_xy, i8)
+            y_s[:] = jnp.full((TB, Wb), init_xy, i8)
+            x2_s[:] = jnp.full((TB, Wb), init_xy2, i8)
+            y2_s[:] = jnp.full((TB, Wb), init_xy2, i8)
+            s_s[:] = jnp.zeros((TB, Wb), i8)
+            H_s[:] = jnp.full((TB, Wb), NEG_INF, i32)
+            col = jax.lax.broadcasted_iota(i32, (TB, 16), 1)
+            neg1 = ((col == IDX["max_q"]) | (col == IDX["max_t"])
+                    | (col == IDX["mqe_t"]) | (col == IDX["mte_q"]))
+            ninf = ((col == IDX["mqe"]) | (col == IDX["mte"])
+                    | (col == IDX["score"]))
+            acc_s[:] = jnp.where(neg1, -1, jnp.where(ninf, NEG_INF, 0))
+
+        qlen = qlen_ref[:]  # (TB, 1) i32
+        tlen = tlen_ref[:]
+        acc = acc_s[:]
+        done = acc[:, IDX["done"]:IDX["done"] + 1]
+        base_w = basefn(r)
+
+        def _step_body(qlen, tlen, acc, done, base_w, r):
+            w = w_ref[:]
+            zdrop = zdrop_ref[:]
+            # ---- window slide: roll state left by 16 when base_w advanced ----
+            slide = jnp.logical_and(r >= 1, base_w != basefn(r - 1))
+
+            @pl.when(slide)
+            def _slide():
+                lane_hi = jax.lax.broadcasted_iota(i32, (TB, Wb), 1) >= Wb - 16
+
+                def roll16(ref, fill):
+                    ref[:] = jnp.where(lane_hi, fill,
+                                       jnp.roll(ref[:], -16, axis=1))
+
+                roll16(u_s, init_xy)
+                roll16(v_s, init_xy)
+                roll16(x_s, init_xy)
+                roll16(y_s, init_xy)
+                roll16(x2_s, init_xy2)
+                roll16(y2_s, init_xy2)
+                roll16(s_s, jnp.int8(0))
+                roll16(H_s, jnp.int32(NEG_INF))
+
+            lanes = jax.lax.broadcasted_iota(i32, (TB, Wb), 1)
+            t_abs = base_w + lanes
+
+            active = jnp.logical_and(done == 0, r < qlen + tlen - 1)
+            st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
+            en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
+            collapse = jnp.logical_and(active, st0 > en0)
+            zdr = acc[:, IDX["zdr"]:IDX["zdr"] + 1]
+            zdr = jnp.where(collapse, 1, zdr)
+            done = jnp.where(collapse, 1, done)
+            active = jnp.logical_and(active, jnp.logical_not(collapse))
+
+            st = st0 // 16 * 16
+            en = (en0 + 16) // 16 * 16 - 1
+
+            # row's own rounded start advanced this step (reference shift16)
+            if True:
+                st0p = jnp.maximum(jnp.maximum(0, (r - 1) - qlen + 1),
+                                   ((r - 1) - w + 1) >> 1)
+                stp = st0p // 16 * 16
+                shift16 = jnp.logical_and(active, jnp.logical_and(r >= 1, st > stp))
+                en0p = jnp.minimum(jnp.minimum(tlen - 1, r - 1), ((r - 1) + w) >> 1)
+                enp = (en0p + 16) // 16 * 16 - 1
+                in_prev = jnp.logical_and(st - 1 >= stp, st - 1 <= enp)
+                in_prev = jnp.logical_and(in_prev, r >= 1)
+
+            # boundary: natural left-neighbour value survives only on the exact
+            # jump step with st-1 inside the previous rounded window; otherwise
+            # the reference re-seeds with init (jax port lines 124-134)
+            use_nat = jnp.logical_and(shift16, in_prev)
+            at_st = jnp.logical_and(t_abs == st, active)
+            at0 = st == 0
+
+            # Mosaic vector arithmetic is i16/i32-only on this TPU: state is
+            # *stored* int8 but *computed* int16, with explicit wrap-to-int8
+            # (w8) at every point the SIMD oracle stores an int8 result.
+            def w8(a):
+                return a.astype(i8).astype(i32)
+
+            u = u_s[:].astype(i32)
+            v = v_s[:].astype(i32)
+            x = x_s[:].astype(i32)
+            y = y_s[:].astype(i32)
+            x2 = x2_s[:].astype(i32)
+            y2 = y2_s[:].astype(i32)
+            s = s_s[:].astype(i32)
+            H = H_s[:]
+
+            # ---- u[r]/y[r] boundary cell (t == r inside the rounded band) ----
+            has_r = jnp.logical_and(active, jnp.logical_and(en >= r, r >= st))
+            onehot_r = jnp.logical_and(has_r, t_abs == r)
+            ub = ubound(r)
+            y = jnp.where(onehot_r, jnp.int32(init_xy), y)
+            y2 = jnp.where(onehot_r, jnp.int32(init_xy2), y2)
+            u = jnp.where(onehot_r, ub, u)
+
+            # ---- score row over the covered chunk [st0, st0+16*floor+15] ----
+            # Mosaic requires 128-aligned dynamic lane offsets: load an aligned
+            # widened block and rotate left by the remainder (log-stage rotate,
+            # the shift amount is a traced scalar shared by the whole tile).
+            def dyn_row(ref, off):
+                o_al = off // 128 * 128
+                rem = off - o_al
+                blk = ref[:, pl.ds(pl.multiple_of(o_al, 128), Wb + 128)]
+                blk = blk.astype(i32)  # dynamic_rotate is 32-bit only
+                blk = pltpu.roll(blk, Wb + 128 - rem, axis=1)
+                return blk[:, :Wb]
+
+            o_q = QOFF - 1 - r + base_w
+            qv = dyn_row(qbuf_ref, o_q)
+            sfv = dyn_row(sf_ref, SOFF + base_w)
+            cover_last = st0 + (en0 - st0) // 16 * 16 + 15
+            s_mask = jnp.logical_and(
+                active, jnp.logical_and(t_abs >= st0, t_abs <= cover_last))
+            sc = jnp.where(
+                jnp.logical_or(sfv == 4, qv == 4),
+                jnp.int32(-e2 if sc_n is None else sc_n),
+                jnp.where(sfv == qv, jnp.int32(sc_mch), jnp.int32(sc_mis)),
+            )
+            s = jnp.where(s_mask, sc, s)
+
+            # ---- core recurrence over the rounded band [st, en] ----
+            band_mask = jnp.logical_and(active, jnp.logical_and(t_abs >= st,
+                                                                t_abs <= en))
+
+            def shl1(a, fill):
+                lane0 = lanes == 0
+                return jnp.where(lane0, fill, jnp.roll(a, 1, axis=1))
+
+            xt1 = shl1(x, jnp.int32(init_xy))
+            x2t1 = shl1(x2, jnp.int32(init_xy2))
+            vt1 = shl1(v, jnp.int32(init_xy))
+            xt1 = jnp.where(jnp.logical_and(at_st, jnp.logical_not(use_nat)),
+                            jnp.int32(init_xy), xt1)
+            x2t1 = jnp.where(jnp.logical_and(at_st, jnp.logical_not(use_nat)),
+                             jnp.int32(init_xy2), x2t1)
+            vt1 = jnp.where(jnp.logical_and(at_st, jnp.logical_not(use_nat)),
+                            jnp.int32(init_xy), vt1)
+            vt1 = jnp.where(jnp.logical_and(at_st, at0), ub, vt1)
+
+            z = s
+            a_ = w8(xt1 + vt1)
+            b_ = w8(y + u)
+            a2_ = w8(x2t1 + vt1)
+            b2_ = w8(y2 + u)
+            if not right_gaps:
+                d = jnp.where(a_ > z, 1, 0).astype(i32)
+                z = jnp.maximum(z, a_)
+                d = jnp.where(b_ > z, 2, d)
+                z = jnp.maximum(z, b_)
+                d = jnp.where(a2_ > z, 3, d)
+                z = jnp.maximum(z, a2_)
+                d = jnp.where(b2_ > z, 4, d)
+                z = jnp.maximum(z, b2_)
+            else:
+                d = jnp.where(z > a_, 0, 1).astype(i32)
+                z = jnp.maximum(z, a_)
+                d = jnp.where(z > b_, d, 2)
+                z = jnp.maximum(z, b_)
+                d = jnp.where(z > a2_, d, 3)
+                z = jnp.maximum(z, a2_)
+                d = jnp.where(z > b2_, d, 4)
+                z = jnp.maximum(z, b2_)
+            z = jnp.minimum(z, jnp.int32(sc_mch))
+            u_new = w8(z - vt1)
+            v_new = w8(z - u)
+            zq = w8(z - q)
+            zq2 = w8(z - q2)
+            an = w8(a_ - zq)
+            bn = w8(b_ - zq)
+            a2n = w8(a2_ - zq2)
+            b2n = w8(b2_ - zq2)
+            if not right_gaps:
+                ax_, bx_, a2x_, b2x_ = an > 0, bn > 0, a2n > 0, b2n > 0
+            else:
+                ax_, bx_ = jnp.logical_not(0 > an), jnp.logical_not(0 > bn)
+                a2x_, b2x_ = jnp.logical_not(0 > a2n), jnp.logical_not(0 > b2n)
+            x_new = w8(jnp.where(ax_, an, 0) - qe)
+            y_new = w8(jnp.where(bx_, bn, 0) - qe)
+            x2_new = w8(jnp.where(a2x_, a2n, 0) - (q2 + e2))
+            y2_new = w8(jnp.where(b2x_, b2n, 0) - (q2 + e2))
+            d = d | jnp.where(ax_, 0x08, 0).astype(i32)
+            d = d | jnp.where(bx_, 0x10, 0).astype(i32)
+            d = d | jnp.where(a2x_, 0x20, 0).astype(i32)
+            d = d | jnp.where(b2x_, 0x40, 0).astype(i32)
+
+            u = jnp.where(band_mask, u_new, u)
+            v = jnp.where(band_mask, v_new, v)
+            x = jnp.where(band_mask, x_new, x)
+            y = jnp.where(band_mask, y_new, y)
+            x2 = jnp.where(band_mask, x2_new, x2)
+            y2 = jnp.where(band_mask, y2_new, y2)
+
+            u_s[:] = u.astype(i8)
+            v_s[:] = v.astype(i8)
+            x_s[:] = x.astype(i8)
+            y_s[:] = y.astype(i8)
+            x2_s[:] = x2.astype(i8)
+            y2_s[:] = y2.astype(i8)
+            s_s[:] = s.astype(i8)
+
+            if with_cigar:
+                dirs_ref[0, :, :] = jnp.where(band_mask, d, 0).astype(u8)
+
+            def lane_val(arr, pos):  # value at t == pos per row, one masked reduce
+                return jnp.sum(jnp.where(t_abs == pos, arr, 0), axis=1,
+                               keepdims=True)
+
+            mx = acc[:, IDX["mx"]:IDX["mx"] + 1]
+            max_q = acc[:, IDX["max_q"]:IDX["max_q"] + 1]
+            max_t = acc[:, IDX["max_t"]:IDX["max_t"] + 1]
+            score = acc[:, IDX["score"]:IDX["score"] + 1]
+
+            if not approx_max:
+                mqe = acc[:, IDX["mqe"]:IDX["mqe"] + 1]
+                mqe_t = acc[:, IDX["mqe_t"]:IDX["mqe_t"] + 1]
+                mte = acc[:, IDX["mte"]:IDX["mte"] + 1]
+                mte_q = acc[:, IDX["mte_q"]:IDX["mte_q"] + 1]
+                vi = v
+                ui = u
+                H_en0_prev = lane_val(H, en0)
+                H_en0m1_prev = lane_val(H, en0 - 1)
+                u_en0 = lane_val(ui, en0)
+                v_en0 = lane_val(vi, en0)
+                Hen0_new = jnp.where(en0 >= 1, H_en0m1_prev + u_en0,
+                                     H_en0_prev + v_en0)
+                upd_mask = jnp.logical_and(t_abs >= st0, t_abs < en0)
+                H_upd = jnp.where(upd_mask, H + vi, H)
+                H_upd = jnp.where(t_abs == en0, Hen0_new, H_upd)
+                H_r0 = jnp.where(t_abs == 0, vi - qe, H)
+                H_new = jnp.where(r == 0, H_r0, H_upd)
+                H = jnp.where(active, H_new, H)
+                H_s[:] = H
+
+                # row max with the reference's 4-lane-strided tie order, packed
+                # as K = H*4096 + (4095 - rank) so one max-reduce finds the exact
+                # SSE winner (rank 0 = the en0 seed, then stride 0..3 by t, tail)
+                en1 = st0 + (en0 - st0) // 4 * 4
+                p_rel = t_abs - st0
+                in_str = jnp.logical_and(t_abs >= st0, t_abs < en1)
+                in_tail = jnp.logical_and(t_abs >= en1, t_abs < en0)
+                rank = jnp.where(
+                    t_abs == en0, 0,
+                    jnp.where(in_str, 1 + (p_rel & 3) * S_STRIDE + (p_rel >> 2),
+                              jnp.where(in_tail, 1 + 4 * S_STRIDE + (t_abs - en1),
+                                        4095)))
+                valid = jnp.logical_and(rank < 4095, active)
+                Hc = jnp.maximum(H, H_CLAMP)
+                K = jnp.where(valid, Hc * 4096 + (4095 - rank),
+                              jnp.int32(-0x7FFFFFFF))
+                Kmax = jnp.max(K, axis=1, keepdims=True)
+                max_H = jax.lax.shift_right_arithmetic(Kmax, 12)
+                max_tv = jnp.sum(jnp.where(K == Kmax, t_abs, 0), axis=1,
+                                 keepdims=True)
+                max_H = jnp.where(r == 0, lane_val(H, 0), max_H)
+                max_tv = jnp.where(r == 0, 0, max_tv)
+
+                H_en0_now = jnp.where(r == 0, lane_val(H, en0), Hen0_new)
+                H_st0_now = lane_val(H, st0)
+                mte_upd = jnp.logical_and(
+                    active, jnp.logical_and(en0 == tlen - 1, H_en0_now > mte))
+                mte = jnp.where(mte_upd, H_en0_now, mte)
+                mte_q = jnp.where(mte_upd, r - en, mte_q)
+                mqe_upd = jnp.logical_and(
+                    active, jnp.logical_and(r - st0 == qlen - 1,
+                                            H_st0_now > mqe))
+                mqe = jnp.where(mqe_upd, H_st0_now, mqe)
+                mqe_t = jnp.where(mqe_upd, st0, mqe_t)
+
+                better = max_H > mx
+                mx_n = jnp.where(better, max_H, mx)
+                max_t_n = jnp.where(better, max_tv, max_t)
+                max_q_n = jnp.where(better, r - max_tv, max_q)
+                inquad = jnp.logical_and(
+                    jnp.logical_not(better),
+                    jnp.logical_and(max_tv >= max_t, r - max_tv >= max_q))
+                ldiff = jnp.abs((max_tv - max_t) - ((r - max_tv) - max_q))
+                dropped = jnp.logical_and(
+                    jnp.logical_and(inquad, zdrop >= 0),
+                    mx - max_H > zdrop + ldiff * e2)
+                dropped = jnp.logical_and(active, dropped)
+                zdr = jnp.where(dropped, 1, zdr)
+                done = jnp.where(dropped, 1, done)
+                mx = jnp.where(active, mx_n, mx)
+                max_t = jnp.where(active, max_t_n, max_t)
+                max_q = jnp.where(active, max_q_n, max_q)
+
+                fin = jnp.logical_and(
+                    jnp.logical_and(active, jnp.logical_not(dropped)),
+                    jnp.logical_and(r == qlen + tlen - 2, en0 == tlen - 1))
+                score = jnp.where(fin, H_en0_now, score)
+                H0 = acc[:, IDX["H0"]:IDX["H0"] + 1]
+                lH0t = acc[:, IDX["lH0t"]:IDX["lH0t"] + 1]
+            else:
+                mqe = acc[:, IDX["mqe"]:IDX["mqe"] + 1]
+                mqe_t = acc[:, IDX["mqe_t"]:IDX["mqe_t"] + 1]
+                mte = acc[:, IDX["mte"]:IDX["mte"] + 1]
+                mte_q = acc[:, IDX["mte_q"]:IDX["mte_q"] + 1]
+                H0 = acc[:, IDX["H0"]:IDX["H0"] + 1]
+                lH0t = acc[:, IDX["lH0t"]:IDX["lH0t"] + 1]
+                vi = v
+                ui = u
+                d0 = lane_val(vi, lH0t)
+                d1 = lane_val(ui, lH0t + 1)
+                both_in = jnp.logical_and(
+                    jnp.logical_and(lH0t >= st0, lH0t <= en0),
+                    jnp.logical_and(lH0t + 1 >= st0, lH0t + 1 <= en0))
+                only_cur = jnp.logical_and(lH0t >= st0, lH0t <= en0)
+                H0_new = jnp.where(
+                    both_in, H0 + jnp.maximum(d0, d1),
+                    jnp.where(only_cur, H0 + d0, H0 + d1))
+                lH0t_new = jnp.where(
+                    jnp.logical_and(both_in, d1 > d0), lH0t + 1,
+                    jnp.where(only_cur, lH0t, lH0t + 1))
+                H0_new = jnp.where(r == 0, lane_val(vi, 0) - qe, H0_new)
+                lH0t_new = jnp.where(r == 0, 0, lH0t_new)
+                H0 = jnp.where(active, H0_new, H0)
+                lH0t = jnp.where(active, lH0t_new, lH0t)
+                if approx_drop:
+                    better = H0 > mx
+                    mx_n = jnp.where(better, H0, mx)
+                    mt_n = jnp.where(better, lH0t, max_t)
+                    mq_n = jnp.where(better, r - lH0t, max_q)
+                    inquad = jnp.logical_and(
+                        jnp.logical_not(better),
+                        jnp.logical_and(lH0t >= max_t, r - lH0t >= max_q))
+                    ldiff = jnp.abs((lH0t - max_t) - ((r - lH0t) - max_q))
+                    dropped = jnp.logical_and(
+                        jnp.logical_and(jnp.logical_and(active, inquad),
+                                        zdrop >= 0),
+                        mx - H0 > zdrop + ldiff * e2)
+                    zdr = jnp.where(dropped, 1, zdr)
+                    done = jnp.where(dropped, 1, done)
+                    mx = jnp.where(active, mx_n, mx)
+                    max_t = jnp.where(active, mt_n, max_t)
+                    max_q = jnp.where(active, mq_n, max_q)
+                fin = jnp.logical_and(
+                    active, jnp.logical_and(r == qlen + tlen - 2,
+                                            en0 == tlen - 1))
+                score = jnp.where(fin, H0, score)
+
+            pad = jnp.zeros((TB, 4), i32)
+            acc_s[:] = jnp.concatenate(
+                [mx, zdr.astype(i32), max_q, max_t, mqe, mqe_t, mte, mte_q,
+                 score, H0, lH0t, done.astype(i32), pad], axis=1)
+
+        inact = jnp.logical_or(done >= 1, r >= qlen + tlen - 1)
+        live = jnp.logical_not(jnp.all(inact))
+
+        @pl.when(live)
+        def _step():
+            _step_body(qlen, tlen, acc, done, base_w, r)
+
+        @pl.when(r == R - 1)
+        def _out():
+            res_ref[:] = acc_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=128)
+def _compiled_extd_pallas(B, TB, Lq, Lt, R, Wb, q, e, q2, e2, W_MAX,
+                          approx_max, right_gaps, with_cigar, approx_drop,
+                          sc_mch, sc_mis, sc_n):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    QOFF = Lq + Lt + 16
+    SOFF = 16
+    WQ = _round_up(QOFF + Wb + 256, 128)
+    WT = _round_up(SOFF + Lt + Wb + 256, 128)
+    nB = B // TB
+    kernel = _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2,
+                                e2, W_MAX, approx_max, right_gaps,
+                                with_cigar, approx_drop, sc_mch, sc_mis,
+                                sc_n)
+
+    in_specs = [
+        pl.BlockSpec((TB, WQ), lambda b, r: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, WT), lambda b, r: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((TB, Wb), jnp.int8),  # u
+        pltpu.VMEM((TB, Wb), jnp.int8),  # v
+        pltpu.VMEM((TB, Wb), jnp.int8),  # x
+        pltpu.VMEM((TB, Wb), jnp.int8),  # y
+        pltpu.VMEM((TB, Wb), jnp.int8),  # x2
+        pltpu.VMEM((TB, Wb), jnp.int8),  # y2
+        pltpu.VMEM((TB, Wb), jnp.int8),  # s
+        pltpu.VMEM((TB, Wb), jnp.int32),  # H
+        pltpu.VMEM((TB, 16), jnp.int32),  # acc
+    ]
+    if with_cigar:
+        out_shape = (
+            jax.ShapeDtypeStruct((B, 16), jnp.int32),
+            jax.ShapeDtypeStruct((R, B, Wb), jnp.uint8),
+        )
+        out_specs = (
+            pl.BlockSpec((TB, 16), lambda b, r: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, Wb), lambda b, r: (r, b, 0),
+                         memory_space=pltpu.VMEM),
+        )
+    else:
+        out_shape = (jax.ShapeDtypeStruct((B, 16), jnp.int32),)
+        out_specs = (
+            pl.BlockSpec((TB, 16), lambda b, r: (b, 0),
+                         memory_space=pltpu.VMEM),
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nB, R),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )
+    return jax.jit(call), (WQ, WT, QOFF, SOFF)
+
+
+def extd_pallas(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop, end_bonus, flag,
+                TB=32):
+    """Batched wm_extd-equivalent on TPU via the Pallas wavefront kernel.
+
+    Returns the same result tuple layout as extend.device.extd_batch but with
+    dirs in the common-window layout (plus per-row st/en and the shared base
+    offsets) for wm_backtrack_band2.
+    """
+    from .device import BatchExtResult
+
+    if q2 + e2 < q + e:
+        q, q2 = q2, q
+        e, e2 = e2, e
+    B0 = len(qseqs)
+    qlen = np.array([len(s) for s in qseqs], np.int32)
+    tlen = np.array([len(s) for s in tseqs], np.int32)
+    Lq = int(max(1, qlen.max()))
+    Lt = int(max(1, tlen.max()))
+    R = Lq + Lt - 1
+    n_col = min(min(Lq, Lt), w + 1)
+    Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32, 128)
+    B = _round_up(B0, TB)
+
+    mat = np.asarray(mat, np.int8)
+    sc_n = int(mat[24]) if mat[24] != 0 else None
+    with_cigar = not (flag & 0x01)
+    approx_max = bool(flag & 0x08)
+    approx_drop = bool(flag & 0x10)
+    right_gaps = bool(flag & 0x02)
+
+    run, (WQ, WT, QOFF, SOFF) = _compiled_extd_pallas(
+        B, TB, Lq, Lt, R, Wb, q, e, q2, e2, w, approx_max, right_gaps,
+        with_cigar, approx_drop, int(mat[0]), int(mat[1]), sc_n)
+
+    qbuf = np.zeros((B, WQ), np.uint8)
+    sfbuf = np.zeros((B, WT), np.uint8)
+    for i, (qs, ts) in enumerate(zip(qseqs, tseqs)):
+        n = len(qs)
+        qbuf[i, QOFF - n:QOFF] = qs[::-1]
+        sfbuf[i, SOFF:SOFF + len(ts)] = ts
+    qlen_a = np.ones((B, 1), np.int32)
+    tlen_a = np.ones((B, 1), np.int32)
+    qlen_a[:B0, 0] = qlen
+    tlen_a[:B0, 0] = tlen
+    w_a = np.full((B, 1), w, np.int32)
+    zd_a = np.full((B, 1), zdrop, np.int32)
+
+    out = run(qbuf, sfbuf, qlen_a, tlen_a, w_a, zd_a)
+    res = np.asarray(out[0])[:B0]
+    mx, zdr, max_q, max_t, mqe, mqe_t, mte, mte_q, score = (
+        res[:, 0], res[:, 1], res[:, 2], res[:, 3], res[:, 4], res[:, 5],
+        res[:, 6], res[:, 7], res[:, 8])
+    result = BatchExtResult(
+        max=mx, zdropped=zdr.astype(bool), max_q=max_q, max_t=max_t,
+        mqe=mqe, mqe_t=mqe_t, mte=mte, mte_q=mte_q, score=score,
+        reach_end=np.zeros(B0, bool),
+        dirs=np.asarray(out[1]) if with_cigar else None,  # (R, B, Wb)
+        off=None, off_end=None,
+    )
+    if with_cigar:
+        # window base and per-row rounded band bounds are pure functions of
+        # (r, qlen, tlen, w) -- recomputed on host for the backtracker
+        rr = np.arange(R, dtype=np.int64)
+        st0c = np.maximum(np.maximum(0, rr - Lq + 1), (rr - w + 1) >> 1)
+        result.base = (st0c // 16 * 16 - 16).astype(np.int32)
+        ql = qlen.astype(np.int64)[:, None]
+        tl = tlen.astype(np.int64)[:, None]
+        st0 = np.maximum(np.maximum(0, rr[None, :] - ql + 1),
+                         (rr[None, :] - w + 1) >> 1)
+        en0 = np.minimum(np.minimum(tl - 1, rr[None, :]),
+                         (rr[None, :] + w) >> 1)
+        result.off = (st0 // 16 * 16).astype(np.int32)
+        result.off_end = ((en0 + 16) // 16 * 16 - 1).astype(np.int32)
+    return result
+
+
+@functools.lru_cache(maxsize=128)
+def _compiled_traceback(B, TB, R, Wb, Lq, W_MAX):
+    """Device traceback: all alignments of a batch walk the direction tensor
+    in lockstep over descending anti-diagonals (reference ksw_backtrack,
+    src/ksw2.h:119-151 semantics incl. the force-state band clamp).  Each
+    walker emits one op byte per visited diagonal into a VMEM chunk that is
+    flushed 128-aligned into ops[b, r], so only (B, R) bytes ever leave the
+    device instead of the (R, B, Wb) direction tensor."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i32 = jnp.int32
+    u8 = jnp.uint8
+    nB = B // TB
+    Rp = _round_up(R, 128)
+
+    def kernel(dirs_ref, qlen_ref, tlen_ref, i0_ref, j0_ref, w_ref,
+               ops_ref, fin_ref, wk_s, chunk_s):
+        k = pl.program_id(1)
+        r = R - 1 - k
+
+        @pl.when(k == 0)
+        def _init():
+            wk_s[:] = jnp.concatenate(
+                [i0_ref[:], j0_ref[:], jnp.zeros((TB, 6), i32)], axis=1)
+            chunk_s[:] = jnp.full((TB, 128), 255, i32)
+            ops_ref[:] = jnp.full((TB, Rp), 255, u8)
+
+        i = wk_s[:, 0:1]
+        j = wk_s[:, 1:2]
+        state = wk_s[:, 2:3]
+        qlen = qlen_ref[:]
+        tlen = tlen_ref[:]
+
+        w = w_ref[:]
+        act = jnp.logical_and(jnp.logical_and(i >= 0, j >= 0), i + j == r)
+        st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
+        en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
+        st = st0 // 16 * 16
+        en = (en0 + 16) // 16 * 16 - 1
+        st0c = jnp.maximum(jnp.maximum(0, r - Lq + 1),
+                           (r - W_MAX + 1) >> 1)
+        base = st0c // 16 * 16 - 16
+
+        lanes = jax.lax.broadcasted_iota(i32, (TB, Wb), 1)
+        row = dirs_ref[0, :, :].astype(i32)
+        d = jnp.sum(jnp.where(lanes == i - base, row, 0), axis=1,
+                    keepdims=True)
+        force2 = i < st
+        force1 = i > en
+        d = jnp.where(jnp.logical_or(force2, force1), 0, d)
+        s1 = jnp.where(state == 0, d & 7,
+                       jnp.where((jax.lax.shift_right_logical(
+                           d, state + 2) & 1) == 0, 0, state))
+        s2 = jnp.where(s1 == 0, d & 7, s1)
+        s3 = jnp.where(force2, 2, jnp.where(force1, 1, s2))
+        is_del = jnp.logical_or(s3 == 1, s3 == 3)
+        op = jnp.where(s3 == 0, 0, jnp.where(is_del, 2, 1))
+        i_new = jnp.where(op != 1, i - 1, i)
+        j_new = jnp.where(op != 2, j - 1, j)
+
+        lanes128 = jax.lax.broadcasted_iota(i32, (TB, 128), 1)
+        opv = jnp.where(act, op, 255)
+        chunk_s[:] = jnp.where(lanes128 == (r & 127), opv, chunk_s[:])
+
+        @pl.when(r & 127 == 0)
+        def _flush():
+            o = pl.multiple_of(r, 128)
+            ops_ref[:, pl.ds(o, 128)] = chunk_s[:].astype(u8)
+            chunk_s[:] = jnp.full((TB, 128), 255, i32)
+
+        i = jnp.where(act, i_new, i)
+        j = jnp.where(act, j_new, j)
+        state = jnp.where(act, s3, state)
+        wk_s[:] = jnp.concatenate(
+            [i, j, state, jnp.zeros((TB, 5), i32)], axis=1)
+
+        @pl.when(k == R - 1)
+        def _out():
+            fin_ref[:] = wk_s[:]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nB, R),
+        in_specs=[
+            pl.BlockSpec((1, TB, Wb), lambda b, k: (R - 1 - k, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda b, k: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda b, k: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda b, k: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda b, k: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda b, k: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, Rp), lambda b, k: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 8), lambda b, k: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Rp), jnp.uint8),
+            jax.ShapeDtypeStruct((B, 8), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((TB, 8), jnp.int32),
+                        pltpu.VMEM((TB, 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )
+    return jax.jit(call)
+
+
+def _rle_cigar(ops_col, i_fin, j_fin, rev_cigar):
+    """Assemble one BAM-packed CIGAR from a walked op column (descending-r
+    emit order) plus the leading remainder runs, replicating CigarBuf
+    semantics (walked + D-remainder + I-remainder, reversed unless
+    rev_cigar)."""
+    walked = ops_col[::-1]
+    walked = walked[walked != 255].astype(np.int64)
+    parts = [walked]
+    if i_fin >= 0:
+        parts.append(np.full(1, 2, np.int64).repeat(i_fin + 1))
+    if j_fin >= 0:
+        parts.append(np.full(1, 1, np.int64).repeat(j_fin + 1))
+    full = np.concatenate(parts) if len(parts) > 1 else walked
+    if len(full) == 0:
+        return np.zeros(0, np.uint32)
+    if not rev_cigar:
+        full = full[::-1]
+    change = np.flatnonzero(np.diff(full)) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(full)]])
+    lens = ends - starts
+    return ((lens.astype(np.uint32) << 4) | full[starts].astype(np.uint32))
+
+
+def traceback_batch(dirs_dev, qlen, tlen, w, Lq, i0, j0, rev_cigar,
+                    TB=32, W_MAX=None):
+    """Run the device traceback for a whole DP batch; returns a list of
+    BAM-packed CIGARs (empty array where i0/j0 < 0)."""
+    R, B, Wb = dirs_dev.shape
+    B0 = len(qlen)
+    W_MAX = W_MAX or (w if np.isscalar(w) else int(np.max(w)))
+    run = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX)
+
+    def col(v, fill):
+        a = np.full((B, 1), fill, np.int32)
+        a[:B0, 0] = v
+        return a
+
+    ops, fin = run(dirs_dev, col(qlen, 1), col(tlen, 1), col(i0, -1),
+                   col(j0, -1), col(w, 1))
+    ops = np.asarray(ops)
+    fin = np.asarray(fin)
+    out = []
+    for b in range(B0):
+        if i0[b] < 0 or j0[b] < 0:
+            out.append(np.zeros(0, np.uint32))
+            continue
+        out.append(_rle_cigar(ops[b, :R], int(fin[b, 0]), int(fin[b, 1]),
+                              rev_cigar[b]))
+    return out
+
+
+def cigar_pallas(res, b: int, i0: int, j0: int, rev_cigar: bool) -> np.ndarray:
+    """Host traceback for alignment b of an extd_pallas/extz_pallas result
+    (common-window dirs layout; reference ksw_backtrack, src/ksw2.h:119-151)."""
+    import ctypes
+
+    from .. import native
+
+    L = native.lib()
+    if not hasattr(L, "_bt2_ready"):
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        L.wm_backtrack_band2.argtypes = [
+            u8p, i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+        ]
+        L.wm_backtrack_band2.restype = ctypes.c_int
+        L._bt2_ready = True
+    out = ctypes.POINTER(ctypes.c_uint32)()
+    p = np.ascontiguousarray(res.dirs[:, b, :])
+    st = np.ascontiguousarray(res.off[b])
+    en = np.ascontiguousarray(res.off_end[b])
+    n = L.wm_backtrack_band2(p, res.base, st, en, p.shape[1], i0, j0,
+                             int(rev_cigar), ctypes.byref(out))
+    if n == 0:
+        return np.zeros(0, np.uint32)
+    cig = np.ctypeslib.as_array(out, (n,)).copy()
+    L.wm_free(out)
+    return cig
+
+
+class DevExtResult:
+    """Extension result assembled from the device DP + traceback
+    (field-compatible with native.ExtResult)."""
+
+    __slots__ = ("max", "zdropped", "max_q", "max_t", "mqe", "mqe_t", "mte",
+                 "mte_q", "score", "reach_end", "cigar")
+
+
+_LEN_STEPS = (128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096,
+              6144, 8192, 12288, 16384, 24576, 32768, 49152, 65536)
+
+
+def quantize_len(n: int) -> int:
+    for s in _LEN_STEPS:
+        if n <= s:
+            return s
+    return _round_up(n, 16384)
+
+
+def quantize_batch(n: int) -> int:
+    for s in (32, 64, 128, 256, 512, 1024, 2048, 4096):
+        if n <= s:
+            return s
+    return _round_up(n, 4096)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_select_starts(extz_only):
+    """Device-side traceback start selection (reference wm_ksw.cpp:318-333 /
+    ksw2 tail logic) so the DP -> traceback chain needs no host sync."""
+    import jax
+    import jax.numpy as jnp
+
+    def sel(res, qlen, tlen, end_bonus):
+        mx = res[:, 0:1]
+        zdr = res[:, 1:2] != 0
+        max_q = res[:, 2:3]
+        max_t = res[:, 3:4]
+        mqe = res[:, 4:5]
+        mqe_t = res[:, 5:6]
+        ok_max = jnp.logical_and(max_t >= 0, max_q >= 0)
+        if not extz_only:
+            i0 = jnp.where(~zdr, tlen - 1, jnp.where(ok_max, max_t, -1))
+            j0 = jnp.where(~zdr, qlen - 1, jnp.where(ok_max, max_q, -1))
+        else:
+            reach = jnp.logical_and(~zdr, mqe + end_bonus > mx)
+            i0 = jnp.where(reach, mqe_t,
+                           jnp.where(ok_max, max_t, -1))
+            j0 = jnp.where(reach, qlen - 1,
+                           jnp.where(ok_max, max_q, -1))
+        return i0.astype(jnp.int32), j0.astype(jnp.int32)
+
+    return jax.jit(sel)
+
+
+class DevCall:
+    """One in-flight device DP(+traceback) batch: dispatch is async, collect
+    fetches everything with a single host sync."""
+
+    def __init__(self, qseqs, tseqs, mat, q, e, q2, e2, w, zdrop, end_bonus,
+                 flag, TB=32):
+        if q2 + e2 < q + e:
+            q, q2 = q2, q
+            e, e2 = e2, e
+        B0 = len(qseqs)
+        qlen = np.array([len(s) for s in qseqs], np.int32)
+        tlen = np.array([len(s) for s in tseqs], np.int32)
+        w = np.broadcast_to(np.asarray(w, np.int32), (B0,))
+        zdrop = np.broadcast_to(np.asarray(zdrop, np.int32), (B0,))
+        Lq = quantize_len(int(max(1, qlen.max())))
+        Lt = quantize_len(int(max(1, tlen.max())))
+        R = Lq + Lt - 1
+        W_MAX = quantize_len(int(w.max()))
+        n_col = min(min(Lq, Lt), W_MAX + 1)
+        Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32, 128)
+        B = quantize_batch(_round_up(B0, TB))
+
+        mat = np.asarray(mat, np.int8)
+        sc_n = int(mat[24]) if mat[24] != 0 else None
+        self.with_cigar = not (flag & 0x01)
+        approx_max = bool(flag & 0x08)
+        approx_drop = bool(flag & 0x10)
+        right_gaps = bool(flag & 0x02)
+        self.extz_only = bool(flag & 0x40)
+        self.rev_cigar = bool(flag & 0x80)
+        self.end_bonus = end_bonus
+        self.B0, self.R, self.qlen, self.tlen = B0, R, qlen, tlen
+
+        run, (WQ, WT, QOFF, SOFF) = _compiled_extd_pallas(
+            B, TB, Lq, Lt, R, Wb, q, e, q2, e2, W_MAX, approx_max,
+            right_gaps, self.with_cigar, approx_drop, int(mat[0]),
+            int(mat[1]), sc_n)
+
+        qbuf = np.zeros((B, WQ), np.uint8)
+        sfbuf = np.zeros((B, WT), np.uint8)
+        for i, (qs, ts) in enumerate(zip(qseqs, tseqs)):
+            n = len(qs)
+            qbuf[i, QOFF - n:QOFF] = qs[::-1]
+            sfbuf[i, SOFF:SOFF + len(ts)] = ts
+        qlen_a = np.ones((B, 1), np.int32)
+        tlen_a = np.ones((B, 1), np.int32)
+        qlen_a[:B0, 0] = qlen
+        tlen_a[:B0, 0] = tlen
+        w_a = np.ones((B, 1), np.int32)
+        w_a[:B0, 0] = w
+        zd_a = np.full((B, 1), -1, np.int32)
+        zd_a[:B0, 0] = zdrop
+
+        out = run(qbuf, sfbuf, qlen_a, tlen_a, w_a, zd_a)  # async dispatch
+        self.res_dev = out[0]
+        self.ops_dev = self.fin_dev = None
+        if self.with_cigar:
+            eb = np.int32(end_bonus)
+            i0, j0 = _compiled_select_starts(self.extz_only)(
+                out[0], qlen_a, tlen_a, eb)
+            tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX)
+            self.ops_dev, self.fin_dev = tb(out[1], qlen_a, tlen_a, i0, j0,
+                                            w_a)
+
+    def collect(self):
+        res = np.asarray(self.res_dev)[:self.B0]
+        if self.with_cigar:
+            ops = np.asarray(self.ops_dev)
+            fin = np.asarray(self.fin_dev)
+        results = []
+        for i in range(self.B0):
+            r = DevExtResult()
+            (r.max, zdr, r.max_q, r.max_t, r.mqe, r.mqe_t, r.mte, r.mte_q,
+             r.score) = (int(v) for v in res[i, :9])
+            r.zdropped = bool(zdr)
+            r.reach_end = False
+            r.cigar = np.zeros(0, np.uint32)
+            if self.with_cigar:
+                if (not r.zdropped and self.extz_only
+                        and r.mqe + self.end_bonus > r.max):
+                    r.reach_end = True
+                has_tb = (not r.zdropped) or (r.max_t >= 0 and r.max_q >= 0)
+                if has_tb:
+                    r.cigar = _rle_cigar(ops[i, :self.R], int(fin[i, 0]),
+                                         int(fin[i, 1]), self.rev_cigar)
+            results.append(r)
+        return results
+
+
+def extd_cigar_device(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop, end_bonus,
+                      flag, TB=32):
+    """Batched extension fully on device: Pallas DP wavefront + Pallas
+    traceback; only (B,16) results and (B,R) op bytes cross the host link.
+    Shapes are quantized so the compile cache stays small.  Returns a list
+    of DevExtResult (reference ksw_extd2_sse + ksw_backtrack semantics,
+    src/ksw2_extd2_sse.c, src/ksw2.h:119-151)."""
+    return DevCall(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop, end_bonus,
+                   flag, TB=TB).collect()
+
+
+def _extd_cigar_device_old(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop,
+                           end_bonus, flag, TB=32):
+    """(superseded by DevCall; kept for reference)"""
+    if q2 + e2 < q + e:
+        q, q2 = q2, q
+        e, e2 = e2, e
+    B0 = len(qseqs)
+    qlen = np.array([len(s) for s in qseqs], np.int32)
+    tlen = np.array([len(s) for s in tseqs], np.int32)
+    Lq = quantize_len(int(max(1, qlen.max())))
+    Lt = quantize_len(int(max(1, tlen.max())))
+    R = Lq + Lt - 1
+    n_col = min(min(Lq, Lt), w + 1)
+    Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32, 128)
+    B = _round_up(B0, TB)
+
+    mat = np.asarray(mat, np.int8)
+    sc_n = int(mat[24]) if mat[24] != 0 else None
+    with_cigar = not (flag & 0x01)
+    approx_max = bool(flag & 0x08)
+    approx_drop = bool(flag & 0x10)
+    right_gaps = bool(flag & 0x02)
+    extz_only = bool(flag & 0x40)
+    rev_cigar = bool(flag & 0x80)
+
+    run, (WQ, WT, QOFF, SOFF) = _compiled_extd_pallas(
+        B, TB, Lq, Lt, R, Wb, q, e, q2, e2, w, zdrop, approx_max, right_gaps,
+        with_cigar, approx_drop, int(mat[0]), int(mat[1]), sc_n)
+
+    qbuf = np.zeros((B, WQ), np.uint8)
+    sfbuf = np.zeros((B, WT), np.uint8)
+    for i, (qs, ts) in enumerate(zip(qseqs, tseqs)):
+        n = len(qs)
+        qbuf[i, QOFF - n:QOFF] = qs[::-1]
+        sfbuf[i, SOFF:SOFF + len(ts)] = ts
+    qlen_a = np.ones((B, 1), np.int32)
+    tlen_a = np.ones((B, 1), np.int32)
+    qlen_a[:B0, 0] = qlen
+    tlen_a[:B0, 0] = tlen
+
+    out = run(qbuf, sfbuf, qlen_a, tlen_a)
+    res = np.asarray(out[0])[:B0]
+
+    results = []
+    i0 = np.full(B0, -1, np.int64)
+    j0 = np.full(B0, -1, np.int64)
+    for i in range(B0):
+        r = DevExtResult()
+        (r.max, zdr, r.max_q, r.max_t, r.mqe, r.mqe_t, r.mte, r.mte_q,
+         r.score) = (int(v) for v in res[i, :9])
+        r.zdropped = bool(zdr)
+        r.reach_end = False
+        r.cigar = np.zeros(0, np.uint32)
+        # traceback start selection (reference ksw2_extd2_sse.c tail +
+        # wm_ksw.cpp:318-333)
+        if with_cigar:
+            if not r.zdropped and not extz_only:
+                i0[i], j0[i] = int(tlen[i]) - 1, int(qlen[i]) - 1
+            elif not r.zdropped and extz_only and r.mqe + end_bonus > r.max:
+                r.reach_end = True
+                i0[i], j0[i] = r.mqe_t, int(qlen[i]) - 1
+            elif r.max_t >= 0 and r.max_q >= 0:
+                i0[i], j0[i] = r.max_t, r.max_q
+        results.append(r)
+
+    if with_cigar:
+        cigs = traceback_batch(out[1], qlen, tlen, w, Lq, i0, j0,
+                               [rev_cigar] * B0, TB=TB)
+        for i, r in enumerate(results):
+            r.cigar = cigs[i]
+    return results

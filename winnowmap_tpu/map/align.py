@@ -555,9 +555,31 @@ def adjust_minier(mi, qseq0, axv, ayv):
     return r, q
 
 
+def drive_ext_gen(gen, opt=None):
+    """Run an extension-job generator to completion with the host kernels
+    (the sequential path; the batched TPU driver lives in map/batch.py).
+    Each yielded job is (opt, qseq, tseq, mat, w, end_bonus, zdrop, flag)."""
+    try:
+        job = next(gen)
+        while True:
+            ez = align_pair(job[0], *job[1:])
+            job = gen.send(ez)
+    except StopIteration as e:
+        return e.value
+
+
 def align1(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
-    """Align one chain (reference mm_align1, align.c:565-795).
-    Returns (r2, dropped) where r2 is a split-off region or None."""
+    """Sequential wrapper over align1_gen (host kernels)."""
+    return drive_ext_gen(align1_gen(opt, mi, qlen, qseq0, r, n_a, ax, ay,
+                                    splice_flag), opt)
+
+
+def align1_gen(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
+    """Align one chain (reference mm_align1, align.c:565-795), expressed as
+    a generator that yields extension-DP job tuples
+    (qseq, tseq, mat, w, end_bonus, zdrop, flag) and receives ExtResult-like
+    objects, so a batch scheduler can run many chains' DP on the TPU at
+    once.  Returns (r2, dropped) where r2 is a split-off region or None."""
     is_sr = bool(opt.flag & MM_F_SR)
     rid = int(ax[r.as_] << U64(1) >> U64(33))
     rev = int(ax[r.as_] >> U64(63))
@@ -674,7 +696,7 @@ def align1(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
     if qs > 0 and rs > 0:  # left extension
         qseq = qseq_dir[qs0:qs][::-1].copy()
         tseq = mi.getseq(rid, rs0, rs)[::-1].copy()
-        ez = align_pair(
+        ez = yield (
             opt, qseq, tseq, mat, bw, opt.end_bonus,
             opt.zdrop_inv if r.split_inv else opt.zdrop,
             extra_flag | WM_EZ_EXTZ_ONLY | WM_EZ_RIGHT | WM_EZ_REV_CIGAR,
@@ -725,13 +747,13 @@ def align1(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
                 ez.reach_end = False
                 zdrop_code = 0
             else:
-                ez = align_pair(
+                ez = yield (
                     opt, qseq, tseq, mat, bw1, -1, opt.zdrop,
                     extra_flag | WM_EZ_APPROX_MAX,
                 )
                 zdrop_code = test_zdrop(opt, qseq, tseq, ez.cigar, mat)
                 if zdrop_code != 0:
-                    ez = align_pair(
+                    ez = yield (
                         opt, qseq, tseq, mat, bw1, -1,
                         opt.zdrop_inv if zdrop_code == 2 else opt.zdrop,
                         extra_flag,
@@ -765,7 +787,7 @@ def align1(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
     if not dropped and qe < qe0 and re < re0:  # right extension
         qseq = qseq_dir[qe:qe0]
         tseq = mi.getseq(rid, re, re0)
-        ez = align_pair(
+        ez = yield (
             opt, qseq, tseq, mat, bw, opt.end_bonus, opt.zdrop,
             extra_flag | WM_EZ_EXTZ_ONLY,
         )
@@ -794,6 +816,11 @@ def align1(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
 
 
 def align1_inv(opt, mi, qlen, qseq0, r1: Reg, r2: Reg):
+    """Sequential wrapper over align1_inv_gen (host kernels)."""
+    return drive_ext_gen(align1_inv_gen(opt, mi, qlen, qseq0, r1, r2), opt)
+
+
+def align1_inv_gen(opt, mi, qlen, qseq0, r1: Reg, r2: Reg):
     """Attempt inversion alignment between two split regions
     (reference mm_align1_inv, align.c:797-852)."""
     if not (r1.split & 1) or not (r2.split & 2):
@@ -821,9 +848,9 @@ def align1_inv(opt, mi, qlen, qseq0, r1: Reg, r2: Reg):
         return None
     q_off = ql - (q_off + 1)
     t_off = tl - (t_off + 1)
-    ez = align_pair(
-        opt, qseq[q_off:], tseq[t_off:], mat, int(opt.bw * 1.5), -1, opt.zdrop,
-        WM_EZ_EXTZ_ONLY,
+    ez = yield (
+        opt, qseq[q_off:], tseq[t_off:], mat, int(opt.bw * 1.5), -1,
+        opt.zdrop, WM_EZ_EXTZ_ONLY,
     )
     if len(ez.cigar) == 0:
         return None
@@ -850,6 +877,12 @@ def align1_inv(opt, mi, qlen, qseq0, r1: Reg, r2: Reg):
 
 
 def align_skeleton(opt, mi, qlen, qstr: bytes, regs: list[Reg], ax, ay):
+    """Sequential wrapper over align_skeleton_gen (host kernels)."""
+    return drive_ext_gen(align_skeleton_gen(opt, mi, qlen, qstr, regs, ax, ay),
+                         opt)
+
+
+def align_skeleton_gen(opt, mi, qlen, qstr: bytes, regs: list[Reg], ax, ay):
     """Align all chains of one read (reference mm_align_skeleton,
     align.c:864-920)."""
     from ..io.seqcode import encode
@@ -865,11 +898,13 @@ def align_skeleton(opt, mi, qlen, qstr: bytes, regs: list[Reg], ax, ay):
     while i < len(regs):
         if opt.flag & MM_F_SPLICE:
             raise NotImplementedError("splice alignment")
-        r2, _ = align1(opt, mi, qlen, qseq0, regs[i], n_a, ax, ay, opt.flag)
+        r2, _ = yield from align1_gen(opt, mi, qlen, qseq0, regs[i], n_a,
+                                      ax, ay, opt.flag)
         if r2 is not None and r2.cnt > 0:
             regs.insert(i + 1, r2)
         if i > 0 and regs[i].split_inv:
-            r_inv = align1_inv(opt, mi, qlen, qseq0, regs[i - 1], regs[i])
+            r_inv = yield from align1_inv_gen(opt, mi, qlen, qseq0,
+                                              regs[i - 1], regs[i])
             if r_inv is not None:
                 regs.insert(i + 1, r_inv)
                 i += 1

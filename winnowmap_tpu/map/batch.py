@@ -1,0 +1,196 @@
+"""Batched TPU mapping driver.
+
+Runs many reads' mapping generators concurrently, collecting the
+extension-DP jobs they yield into shape/parameter buckets and executing
+each bucket as one Pallas wavefront batch on the TPU (see
+extend/pallas_kernel.py).  Because the device kernels are bit-identical to
+the host oracle, the batched path produces byte-identical output to the
+sequential path (tests/test_batch.py asserts this) while amortising the
+device round-trip latency across hundreds of reads.
+
+This is the TPU-native replacement for the reference's per-read pthread
+work-stealing (reference src/kthread.c:30-72 + src/map.c:1008-1030): one
+host thread orchestrates, the TPU does the DP for the whole batch.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+from ..options import MM_F_SPLICE, stage2_options
+from .align import align_pair
+from .frag import MapResult, McasState, _map_vanilla_gen, mcas_stage2_gen
+
+# jobs whose padded DP exceeds this per-side length run on the host instead
+MAX_DEV_LEN = 32768
+# minimum bucket size worth a device round-trip (latency ~27 ms)
+MIN_DEV_BATCH = 24
+# cap the direction-tensor footprint of one device call
+MAX_DIRS_BYTES = 2 << 30
+
+
+def _use_device() -> bool:
+    import os
+
+    return os.environ.get("WM_NO_TPU", "") == ""
+
+
+class _Task:
+    __slots__ = ("gen", "job", "done", "value")
+
+    def __init__(self, gen):
+        self.gen = gen
+        self.job = None
+        self.done = False
+        self.value = None
+
+    def advance(self, send_val=None):
+        try:
+            if send_val is None and self.job is None:
+                self.job = next(self.gen)
+            else:
+                self.job = self.gen.send(send_val)
+        except StopIteration as e:
+            self.done = True
+            self.value = e.value
+            self.job = None
+
+
+def _bucket_key(job):
+    opt, qseq, tseq, mat, w, end_bonus, zdrop, flag = job
+    from ..extend.pallas_kernel import quantize_len
+
+    # w and zdrop are runtime inputs to the kernels; only the quantized
+    # band ceiling (tile width) and end_bonus (shared per call) bucket
+    return (opt.q, opt.e, opt.q2, opt.e2, mat.tobytes(), end_bonus,
+            flag, quantize_len(max(1, w)),
+            quantize_len(max(1, len(qseq))),
+            quantize_len(max(1, len(tseq))))
+
+
+def _device_eligible(job):
+    opt, qseq, tseq, mat, w, end_bonus, zdrop, flag = job
+    if opt.flag & MM_F_SPLICE:
+        return False
+    if opt.q == opt.q2 and opt.e == opt.e2:
+        return False  # extz kernel: host for now
+    if len(qseq) == 0 or len(tseq) == 0:
+        return False
+    if len(qseq) > MAX_DEV_LEN or len(tseq) > MAX_DEV_LEN:
+        return False
+    if opt.max_sw_mat > 0 and len(qseq) * len(tseq) > opt.max_sw_mat:
+        return False  # align_pair returns the dummy-drop result host-side
+    return True
+
+
+STATS = defaultdict(float)
+CALL_LOG = []
+
+
+def run_ext_tasks(tasks: list[_Task]) -> None:
+    """Advance every task to completion, batching device-eligible jobs."""
+    import time
+
+    from ..extend.pallas_kernel import DevCall
+
+    use_dev = _use_device()
+    for t in tasks:
+        t.advance()
+    while True:
+        pending = [t for t in tasks if not t.done]
+        if not pending:
+            return
+        STATS["rounds"] += 1
+        buckets = defaultdict(list)
+        host_jobs = []
+        for t in pending:
+            if use_dev and _device_eligible(t.job):
+                buckets[_bucket_key(t.job)].append(t)
+            else:
+                host_jobs.append(t)
+        # dispatch every device-eligible bucket asynchronously first, then
+        # run host jobs while the TPU works, then collect in order
+        t0 = time.time()
+        inflight = []  # (DevCall, tasks)
+        for key, ts in buckets.items():
+            if len(ts) < MIN_DEV_BATCH:
+                host_jobs.extend(ts)
+                STATS["host_small"] += len(ts)
+                continue
+            opt = ts[0].job[0]
+            mat = ts[0].job[3]
+            end_bonus, flag = key[5], key[6]
+            # cap per-call dirs footprint
+            wq, Lq, Lt = key[7], key[8], key[9]
+            n_col = min(min(Lq, Lt), wq + 1)
+            Wb = ((n_col + 15) // 16 + 3) * 16
+            per_job = (Lq + Lt) * ((Wb + 127) // 128 * 128)
+            cap = max(MIN_DEV_BATCH, int(MAX_DIRS_BYTES // max(1, per_job)))
+            for lo in range(0, len(ts), cap):
+                chunk = ts[lo:lo + cap]
+                call = DevCall(
+                    [t.job[1] for t in chunk], [t.job[2] for t in chunk],
+                    mat, opt.q, opt.e, opt.q2, opt.e2,
+                    [t.job[4] for t in chunk], [t.job[6] for t in chunk],
+                    end_bonus, flag)
+                inflight.append((call, chunk))
+                STATS["dev_calls"] += 1
+                STATS["dev_jobs"] += len(chunk)
+        STATS["dispatch_s"] += time.time() - t0
+
+        t0 = time.time()
+        for t in host_jobs:
+            job = t.job
+            t.advance(align_pair(job[0], *job[1:]))
+            STATS["host_jobs"] += 1
+        STATS["host_s"] += time.time() - t0
+
+        t0 = time.time()
+        for call, chunk in inflight:
+            tc = time.time()
+            for t, ez in zip(chunk, call.collect()):
+                t.advance(ez)
+            if "calls_log" in STATS.__class__.__dict__ or True:
+                CALL_LOG.append((call.R, len(chunk), time.time() - tc))
+        STATS["dev_s"] += time.time() - t0
+
+
+def map_batch(mi, opt, seqs, qnames) -> list[MapResult]:
+    """Map a batch of reads, TPU-batched (bit-identical to per-read
+    frag.map_one; reference mm_map semantics, src/map.c:279-981)."""
+    n = len(seqs)
+    results: list[MapResult | None] = [None] * n
+
+    trial_tasks: list[_Task] = []
+    stage2_inputs = []  # (idx, state)
+    vanilla_tasks = []  # (idx, task)
+    for i, seq in enumerate(seqs):
+        qlen = len(seq)
+        if qlen == 0:
+            results[i] = MapResult([], 0, 0)
+            continue
+        if opt.sv_aware and qlen >= opt.sv_aware_min_read_length:
+            st = McasState(mi, opt, seq, qnames[i])
+            stage2_inputs.append((i, st))
+            for g in st.trial_gens(mi, seq, qnames[i]):
+                trial_tasks.append(_Task(g))
+        else:
+            t = _Task(_map_vanilla_gen(mi, opt, seq, qnames[i]))
+            vanilla_tasks.append((i, t))
+
+    # phase 1: all
+
+    run_ext_tasks(trial_tasks + [t for _, t in vanilla_tasks])
+    for i, t in vanilla_tasks:
+        results[i] = t.value
+
+    # phase 2: MCAS anchor pooling + stage-2 (includes vanilla fallback)
+    stage2_tasks = []
+    for i, st in stage2_inputs:
+        t = _Task(mcas_stage2_gen(mi, opt, seqs[i], qnames[i], st))
+        stage2_tasks.append((i, t))
+    run_ext_tasks([t for _, t in stage2_tasks])
+    for i, t in stage2_tasks:
+        results[i] = t.value
+    return results

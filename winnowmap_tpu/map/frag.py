@@ -26,7 +26,7 @@ from ..options import (
     stage2_options,
 )
 from . import hit as hitmod
-from .align import align_skeleton
+from .align import align_skeleton_gen, drive_ext_gen
 from .esterr import est_err
 from .hit import Reg, set_mapq, set_parent, set_sam_pri, select_sub
 from .seeds import collect_minimizers, collect_seed_hits
@@ -87,11 +87,12 @@ def chain_post(opt, max_chain_gap_ref, mi, qlen, n_segs, regs, ax, ay):
     return regs
 
 
-def align_regs(opt, mi, qlen, seq: bytes, regs, ax, ay):
+def align_regs_gen(opt, mi, qlen, seq: bytes, regs, ax, ay):
     """(reference align_regs, map.c:267-277)"""
     if not (opt.flag & MM_F_CIGAR):
         return regs
-    regs, ax, ay = align_skeleton(opt, mi, qlen, seq, regs, ax, ay)
+    regs, ax, ay = yield from align_skeleton_gen(opt, mi, qlen, seq, regs,
+                                                 ax, ay)
     if not (opt.flag & MM_F_ALL_CHAINS):
         set_parent(opt.mask_level, opt.mask_len, regs, opt.a * 2 + opt.b,
                    opt.flag & MM_F_HARD_MLEVEL, opt.alt_drop)
@@ -113,8 +114,16 @@ class MapResult:
 
 
 def _pipeline_once(mi, opt, qlen, seq, qname, hash_, run_est_err=True):
+    """Sequential wrapper over _pipeline_once_gen (host kernels)."""
+    return drive_ext_gen(
+        _pipeline_once_gen(mi, opt, qlen, seq, qname, hash_, run_est_err),
+        opt)
+
+
+def _pipeline_once_gen(mi, opt, qlen, seq, qname, hash_, run_est_err=True):
     """One seed->chain->post->align->mapq pass (the shared core of both the
-    vanilla path and each MCAS substring trial, reference map.c:343-470)."""
+    vanilla path and each MCAS substring trial, reference map.c:343-470).
+    Yields extension-DP jobs (see align.align1_gen)."""
     is_sr = bool(opt.flag & MM_F_SR)
     mvx, mvy = collect_minimizers(opt, mi, [qlen], [seq])
     sh = collect_seed_hits(opt, opt.mid_occ, mi, qname, mvx, mvy, qlen)
@@ -135,7 +144,7 @@ def _pipeline_once(mi, opt, qlen, seq, qname, hash_, run_est_err=True):
     # so the dv: tag is effectively never populated by winnowmap.
     if not is_sr and run_est_err:
         est_err(mi, qlen, regs, ax, ay, sh.mini_pos)
-    regs = align_regs(opt, mi, qlen, seq, regs, ax, ay)
+    regs = yield from align_regs_gen(opt, mi, qlen, seq, regs, ax, ay)
     set_mapq(regs, opt.min_chain_score, opt.a, sh.rep_len, is_sr)
     return regs, ax, ay, sh.rep_len, max_gap_ref
 
@@ -152,11 +161,16 @@ def map_one(mi, opt: MapOptions, seq: bytes, qname: str | None) -> MapResult:
 
 
 def _map_vanilla(mi, opt, seq, qname, collected=None) -> MapResult:
+    """Sequential wrapper over _map_vanilla_gen (host kernels)."""
+    return drive_ext_gen(_map_vanilla_gen(mi, opt, seq, qname), opt)
+
+
+def _map_vanilla_gen(mi, opt, seq, qname):
     """Single-pass path (reference map.c:848-954; also the fallback when
     MCAS found no anchors)."""
     qlen = len(seq)
     hash_ = _frag_hash(qname, qlen, opt.seed)
-    regs, ax, ay, rep_len, frag_gap = _pipeline_once(
+    regs, ax, ay, rep_len, frag_gap = yield from _pipeline_once_gen(
         mi, opt, qlen, seq, qname, hash_, run_est_err=False
     )
     return MapResult(regs, rep_len, frag_gap)
@@ -164,6 +178,14 @@ def _map_vanilla(mi, opt, seq, qname, collected=None) -> MapResult:
 
 def _stage2_chain(mi, opt3, qlen, seq, qname, ax_in, ay_in, rep_len,
                   rep_len_defined=True):
+    """Sequential wrapper over _stage2_chain_gen (host kernels)."""
+    return drive_ext_gen(
+        _stage2_chain_gen(mi, opt3, qlen, seq, qname, ax_in, ay_in, rep_len,
+                          rep_len_defined), opt3)
+
+
+def _stage2_chain_gen(mi, opt3, qlen, seq, qname, ax_in, ay_in, rep_len,
+                      rep_len_defined=True):
     """Stage-2 chain/align from a pooled anchor set (reference
     map.c:848-954 with pre-collected anchors)."""
     is_sr = bool(opt3.flag & MM_F_SR)
@@ -179,45 +201,71 @@ def _stage2_chain(mi, opt3, qlen, seq, qname, ax_in, ay_in, rep_len,
     regs = hitmod.gen_regs(hash_, qlen, u, ax, ay)
     regs = chain_post(opt3, max_gap_ref, mi, qlen, 1, regs, ax, ay)
     # stage 2 skips mm_est_err (reference map.c:928-929 commented out)
-    regs = align_regs(opt3, mi, qlen, seq, regs, ax, ay)
+    regs = yield from align_regs_gen(opt3, mi, qlen, seq, regs, ax, ay)
     set_mapq(regs, opt3.min_chain_score, opt3.a, rep_len, is_sr)
     return MapResult(regs, rep_len, max_gap_ref, rep_len_defined)
 
 
-def _map_sv_aware(mi, opt, seq, qname) -> MapResult:
-    """Two-stage MCAS mapping (reference map.c:314-954)."""
-    qlen = len(seq)
-    opt2 = stage1_options(opt)
-    n_starts = 1 + math.ceil(qlen / opt2.suffix_sample_offset)
-    collect_ax: list[np.ndarray | None] = [None] * n_starts
-    collect_ay: list[np.ndarray | None] = [None] * n_starts
-    seq_mapped = np.zeros(qlen, dtype=bool)
+class McasState:
+    """Shared per-read MCAS stage-1 state (reference map.c:305-312); trial
+    generators for different start positions write disjoint slots, mirroring
+    the reference's OpenMP-parallel substring loop (map.c:317-334)."""
 
-    for suffix_id in range(n_starts):
+    def __init__(self, mi, opt, seq, qname):
+        self.qlen = len(seq)
+        self.opt2 = stage1_options(opt)
+        self.n_starts = 1 + math.ceil(self.qlen / self.opt2.suffix_sample_offset)
+        self.collect_ax = [None] * self.n_starts
+        self.collect_ay = [None] * self.n_starts
+        self.seq_mapped = np.zeros(self.qlen, dtype=bool)
+
+    def trial_gens(self, mi, seq, qname):
+        return [self._trial_gen(mi, seq, qname, sid)
+                for sid in range(self.n_starts)]
+
+    def _trial_gen(self, mi, seq, qname, suffix_id):
+        """All substring trials for one start position (reference
+        map.c:334-688: geometric length ladder, right then left)."""
+        opt2, qlen = self.opt2, self.qlen
         sub_begin = suffix_id * opt2.suffix_sample_offset
         if sub_begin >= qlen:
             sub_begin = qlen - 1
-        found = False
         sub_len = opt2.min_prefix_length
         while sub_len <= opt2.max_prefix_length:
-            # substring to the right of sub_begin
             if sub_begin + sub_len <= qlen:
-                found, n_regs0 = _mcas_try(
+                found, n_regs0 = yield from _mcas_try_gen(
                     mi, opt2, seq, qname, sub_begin, sub_len, False, qlen,
-                    collect_ax, collect_ay, seq_mapped, suffix_id,
+                    self.collect_ax, self.collect_ay, self.seq_mapped,
+                    suffix_id,
                 )
                 if found or not n_regs0:
-                    break
-            # substring to the left of sub_begin
+                    return
             if sub_begin - sub_len + 1 >= 0:
-                found, n_regs0 = _mcas_try(
+                found, n_regs0 = yield from _mcas_try_gen(
                     mi, opt2, seq, qname, sub_begin, sub_len, True, qlen,
-                    collect_ax, collect_ay, seq_mapped, suffix_id,
+                    self.collect_ax, self.collect_ay, self.seq_mapped,
+                    suffix_id,
                 )
                 if found or not n_regs0:
-                    break
+                    return
             sub_len = int(sub_len * opt2.prefix_increment_factor)
 
+
+def _map_sv_aware(mi, opt, seq, qname) -> MapResult:
+    """Two-stage MCAS mapping (reference map.c:314-954), sequential driver."""
+    st = McasState(mi, opt, seq, qname)
+    for g in st.trial_gens(mi, seq, qname):
+        drive_ext_gen(g, st.opt2)
+    return drive_ext_gen(
+        mcas_stage2_gen(mi, opt, seq, qname, st), stage2_options(opt))
+
+
+def mcas_stage2_gen(mi, opt, seq, qname, st: McasState):
+    """Anchor pooling + stage-2 re-chain/re-align (reference map.c:713-954)."""
+    qlen = len(seq)
+    collect_ax, collect_ay = st.collect_ax, st.collect_ay
+    seq_mapped = st.seq_mapped
+    n_starts = st.n_starts
     opt3 = stage2_options(opt)
 
     # pool + dedupe anchors (reference map.c:732-781)
@@ -260,13 +308,17 @@ def _map_sv_aware(mi, opt, seq, qname) -> MapResult:
         ax, ay = ax[order], ay[order]
 
     if ax is None:  # MCAS unusable: vanilla fallback with original options
-        return _map_vanilla(mi, opt, seq, qname)
-    return _stage2_chain(mi, opt3, qlen, seq, qname, ax, ay, rep_len,
-                         rep_len_defined)
+        # NB: fallback jobs carry `opt`, not opt3 (scoring identical; only
+        # band/gap params differ and those ride inside each job tuple)
+        result = yield from _map_vanilla_gen(mi, opt, seq, qname)
+        return result
+    result = yield from _stage2_chain_gen(mi, opt3, qlen, seq, qname, ax, ay,
+                                          rep_len, rep_len_defined)
+    return result
 
 
-def _mcas_try(mi, opt2, seq, qname, sub_begin, sub_len, left, qlen,
-              collect_ax, collect_ay, seq_mapped, suffix_id):
+def _mcas_try_gen(mi, opt2, seq, qname, sub_begin, sub_len, left, qlen,
+                  collect_ax, collect_ay, seq_mapped, suffix_id):
     """Try mapping one substring; on success save its shifted anchors
     (reference map.c:346-515 right, 518-687 left)."""
     if left:
@@ -275,7 +327,7 @@ def _mcas_try(mi, opt2, seq, qname, sub_begin, sub_len, left, qlen,
         start = sub_begin
     sub = seq[start : start + sub_len]
     hash_ = _frag_hash(qname, sub_len, opt2.seed)
-    regs0, ax, ay, rep_len, _ = _pipeline_once(
+    regs0, ax, ay, rep_len, _ = yield from _pipeline_once_gen(
         mi, opt2, sub_len, sub, qname, hash_, run_est_err=True
     )
     n_regs0 = len(regs0)

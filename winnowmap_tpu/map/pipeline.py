@@ -21,10 +21,11 @@ from .frag import map_one
 
 
 def map_file(mi, opt: MapOptions, path: str, out=sys.stdout,
-             map_fn=None) -> int:
+             map_fn=None, batched=False) -> int:
     """Map all reads in `path` against index `mi`, writing PAF/SAM to `out`.
     Returns the number of reads processed.  `map_fn` overrides the per-read
-    mapper (used to plug in the batched TPU path)."""
+    mapper; `batched=True` uses the TPU batch driver (map/batch.py), which
+    is bit-identical to the per-read path."""
     map_fn = map_fn or map_one
     n_processed = 0
     with FastxReader(path) as reader:
@@ -42,9 +43,15 @@ def map_file(mi, opt: MapOptions, path: str, out=sys.stdout,
                 reverse=True,
             )
             batch = [batch[i] for i in order]
-            results = []
-            for rec in batch:
-                results.append(map_fn(mi, opt, rec.seq, rec.name))
+            if batched:
+                from .batch import map_batch
+
+                results = map_batch(mi, opt, [r.seq for r in batch],
+                                    [r.name for r in batch])
+            else:
+                results = []
+                for rec in batch:
+                    results.append(map_fn(mi, opt, rec.seq, rec.name))
             for rec, res in zip(batch, results):
                 _write_read(mi, opt, rec, res, out)
             n_processed += len(batch)

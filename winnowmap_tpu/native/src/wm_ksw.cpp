@@ -726,4 +726,43 @@ int wm_backtrack_band(const uint8_t* p, const int32_t* off,
   return (int)cb.ops.size();
 }
 
+// Traceback over the Pallas common-window direction layout: row r holds
+// lanes [base[r], base[r] + n_col) while the row's true rounded band is
+// [st[r], en[r]] (force_state rules use st/en, matching the reference
+// window bounds in ksw_backtrack, src/ksw2.h:119-151).
+int wm_backtrack_band2(const uint8_t* p, const int32_t* base,
+                       const int32_t* st, const int32_t* en, int64_t n_col,
+                       int i0, int j0, int rev_cigar, uint32_t** out_cigar) {
+  CigarBuf cb;
+  int i = i0, j = j0, state = 0;
+  while (i >= 0 && j >= 0) {
+    int r = i + j;
+    int force_state = -1;
+    if (i < st[r]) force_state = 2;
+    if (i > en[r]) force_state = 1;
+    uint32_t d = force_state < 0 ? p[(size_t)r * n_col + i - base[r]] : 0;
+    if (state == 0)
+      state = d & 7;
+    else if (!(d >> (state + 2) & 1))
+      state = 0;
+    if (state == 0) state = d & 7;
+    if (force_state >= 0) state = force_state;
+    if (state == 0)
+      cb.push(0, 1), --i, --j;
+    else if (state == 1 || state == 3)
+      cb.push(2, 1), --i;
+    else
+      cb.push(1, 1), --j;
+  }
+  if (i >= 0) cb.push(2, i + 1);
+  if (j >= 0) cb.push(1, j + 1);
+  if (!rev_cigar) std::reverse(cb.ops.begin(), cb.ops.end());
+  *out_cigar = nullptr;
+  if (!cb.ops.empty()) {
+    *out_cigar = (uint32_t*)wm_malloc(sizeof(uint32_t) * cb.ops.size());
+    std::memcpy(*out_cigar, cb.ops.data(), sizeof(uint32_t) * cb.ops.size());
+  }
+  return (int)cb.ops.size();
+}
+
 }  // extern "C"
