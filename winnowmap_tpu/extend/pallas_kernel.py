@@ -823,8 +823,7 @@ class DevExtResult:
                  "mte_q", "score", "reach_end", "cigar")
 
 
-_LEN_STEPS = (128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096,
-              6144, 8192, 12288, 16384, 24576, 32768, 49152, 65536)
+_LEN_STEPS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
 
 
 def quantize_len(n: int) -> int:
@@ -835,7 +834,7 @@ def quantize_len(n: int) -> int:
 
 
 def quantize_batch(n: int) -> int:
-    for s in (32, 64, 128, 256, 512, 1024, 2048, 4096):
+    for s in (64, 256, 1024, 4096):
         if n <= s:
             return s
     return _round_up(n, 4096)
@@ -1041,3 +1040,237 @@ def _extd_cigar_device_old(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop,
         for i, r in enumerate(results):
             r.cigar = cigs[i]
     return results
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_assemble(WQ, WT, QOFF, SOFF):
+    """Device-side DP-buffer assembly: gather each job's query/target window
+    from the resident sequence pools using affine (offset, sign) indices, so
+    per-job sequence bytes never cross the host link."""
+    import jax
+    import jax.numpy as jnp
+
+    def asm(qpool, tpool, desc):
+        B = desc.shape[0]
+        i32 = jnp.int32
+        cq = jax.lax.broadcasted_iota(i32, (B, WQ), 1)
+        qa = desc[:, 0:1]
+        qsgn = desc[:, 1:2]
+        qlen = desc[:, 2:3]
+        idx = qa + qsgn * cq
+        maskq = jnp.logical_and(cq >= QOFF - qlen, cq < QOFF)
+        qv = jnp.take(qpool, jnp.clip(idx, 0, qpool.shape[0] - 1), axis=0)
+        qbuf = jnp.where(maskq, qv, 0).astype(jnp.uint8)
+
+        ct = jax.lax.broadcasted_iota(i32, (B, WT), 1)
+        ta = desc[:, 3:4]
+        tsgn = desc[:, 4:5]
+        tlen = desc[:, 5:6]
+        idxt = ta + tsgn * ct
+        maskt = jnp.logical_and(ct >= SOFF, ct < SOFF + tlen)
+        tv = jnp.take(tpool, jnp.clip(idxt, 0, tpool.shape[0] - 1), axis=0)
+        sfbuf = jnp.where(maskt, tv, 0).astype(jnp.uint8)
+        return qbuf, sfbuf
+
+    return jax.jit(asm)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_pack_ops(cols):
+    """Pack traceback op bytes 4-per-byte (2 bits each; idle 255 -> 3) so
+    the ops download shrinks 4x."""
+    import jax
+    import jax.numpy as jnp
+
+    def pack(ops):
+        o = jnp.minimum(ops, 3)[:, :cols * 4].reshape(ops.shape[0], cols, 4)
+        return (o[..., 0] | (o[..., 1] << 2) | (o[..., 2] << 4)
+                | (o[..., 3] << 6)).astype(jnp.uint8)
+
+    return jax.jit(pack)
+
+
+def _unpack_ops(packed, R):
+    out = np.empty((packed.shape[0], packed.shape[1] * 4), np.uint8)
+    for k in range(4):
+        out[:, k::4] = (packed >> (2 * k)) & 3
+    return out[:, :R]
+
+
+class PoolContext:
+    """Device-resident sequence pools for one mapping batch: the reference
+    codes (uploaded once per index) and the batch's read strand pool."""
+
+    _ref_cache: dict = {}
+
+    def __init__(self, qpool_np, ref_np):
+        import jax
+
+        self.qpool_np = qpool_np
+        self.ref_np = ref_np
+        self.qpool = jax.device_put(qpool_np)
+        key = id(ref_np)
+        cached = PoolContext._ref_cache.get(key)
+        if cached is None or cached[0] is not ref_np:
+            dev = jax.device_put(ref_np)
+            PoolContext._ref_cache.clear()  # one index resident at a time
+            PoolContext._ref_cache[key] = (ref_np, dev)
+        self.ref = PoolContext._ref_cache[key][1]
+        self._q_addr = qpool_np.__array_interface__["data"][0]
+        self._r_addr = ref_np.__array_interface__["data"][0]
+        self._q_end = self._q_addr + qpool_np.nbytes
+        self._r_end = self._r_addr + ref_np.nbytes
+
+    def resolve(self, js) -> tuple[int, int] | None:
+        """JobSeq -> (pool_sel, offset) if its view lives in a pool."""
+        v = js.view if hasattr(js, "view") else js
+        if v.dtype != np.uint8 or v.ndim != 1 or v.strides[0] != 1:
+            return None
+        addr = v.__array_interface__["data"][0]
+        if self._q_addr <= addr and addr + v.nbytes <= self._q_end:
+            return 0, addr - self._q_addr
+        if self._r_addr <= addr and addr + v.nbytes <= self._r_end:
+            return 1, addr - self._r_addr
+        return None
+
+
+class DevCallPooled:
+    """One in-flight pooled device batch: job windows are gathered from the
+    resident pools on device; only 32-byte descriptors go up and packed op
+    bytes come down."""
+
+    def __init__(self, pools: PoolContext, jobs, mat, q, e, q2, e2,
+                 end_bonus, flag, TB=32):
+        # jobs: list of (qdesc, tdesc, w, zdrop) where qdesc/tdesc =
+        # (pool_sel, off, ln, rev)
+        if q2 + e2 < q + e:
+            q, q2 = q2, q
+            e, e2 = e2, e
+        B0 = len(jobs)
+        qlen = np.array([j[0][2] for j in jobs], np.int32)
+        tlen = np.array([j[1][2] for j in jobs], np.int32)
+        ws = np.array([j[2] for j in jobs], np.int32)
+        zds = np.array([j[3] for j in jobs], np.int32)
+        Lq = quantize_len(int(max(1, qlen.max())))
+        Lt = quantize_len(int(max(1, tlen.max())))
+        R = Lq + Lt - 1
+        W_MAX = quantize_len(int(ws.max()))
+        n_col = min(min(Lq, Lt), W_MAX + 1)
+        Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32, 128)
+        B = quantize_batch(_round_up(B0, TB))
+
+        mat = np.asarray(mat, np.int8)
+        sc_n = int(mat[24]) if mat[24] != 0 else None
+        self.with_cigar = not (flag & 0x01)
+        approx_max = bool(flag & 0x08)
+        approx_drop = bool(flag & 0x10)
+        right_gaps = bool(flag & 0x02)
+        self.extz_only = bool(flag & 0x40)
+        self.rev_cigar = bool(flag & 0x80)
+        self.end_bonus = end_bonus
+        self.B0 = B0
+        self.R = R
+        self.R_act = int((qlen + tlen).max()) - 1
+
+        run, (WQ, WT, QOFF, SOFF) = _compiled_extd_pallas(
+            B, TB, Lq, Lt, R, Wb, q, e, q2, e2, W_MAX, approx_max,
+            right_gaps, self.with_cigar, approx_drop, int(mat[0]),
+            int(mat[1]), sc_n)
+
+        # affine descriptor per job: value(c) = pool[a + sgn*c] inside the
+        # masked window (see module docstring for the layout derivation)
+        desc = np.zeros((B, 8), np.int32)
+        desc[:, 2] = 1
+        desc[:, 5] = 1
+        for i, ((qs_sel, qo, ql, qrev), (ts_sel, to, tl, trev), w_i,
+                zd_i) in enumerate(jobs):
+            assert qs_sel == 0 and ts_sel == 1
+            if not qrev:
+                desc[i, 0], desc[i, 1] = qo + QOFF - 1, -1
+            else:
+                desc[i, 0], desc[i, 1] = qo + ql - QOFF, 1
+            desc[i, 2] = ql
+            if not trev:
+                desc[i, 3], desc[i, 4] = to - SOFF, 1
+            else:
+                desc[i, 3], desc[i, 4] = to + tl - 1 + SOFF, -1
+            desc[i, 5] = tl
+            desc[i, 6] = w_i
+            desc[i, 7] = zd_i
+
+        qbuf, sfbuf = _compiled_assemble(WQ, WT, QOFF, SOFF)(
+            pools.qpool, pools.ref, desc)
+        qlen_a = desc[:, 2:3].copy()
+        tlen_a = desc[:, 5:6].copy()
+        qlen_a[B0:] = 1
+        tlen_a[B0:] = 1
+        w_a = desc[:, 6:7].copy()
+        w_a[B0:] = 1
+        zd_a = desc[:, 7:8].copy()
+        zd_a[B0:] = -1
+
+        out = run(qbuf, sfbuf, qlen_a, tlen_a, w_a, zd_a)
+        self.res_dev = out[0]
+        self.ops_dev = self.fin_dev = None
+        if self.with_cigar:
+            eb = np.int32(end_bonus)
+            i0, j0 = _compiled_select_starts(self.extz_only)(
+                out[0], qlen_a, tlen_a, eb)
+            tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX)
+            ops, self.fin_dev = tb(out[1], qlen_a, tlen_a, i0, j0, w_a)
+            self.pack_cols = (R + 3) // 4  # fixed per shape: one variant
+            self.ops_dev = _compiled_pack_ops(self.pack_cols)(ops)
+
+    def start_fetch(self):
+        """Begin async device->host copies of every output (overlaps the
+        ~27 ms link round-trips across in-flight calls)."""
+        for a in (self.res_dev, self.ops_dev, self.fin_dev):
+            if a is not None:
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
+
+    def collect(self):
+        res = np.asarray(self.res_dev)[:self.B0]
+        if self.with_cigar:
+            ops = _unpack_ops(np.asarray(self.ops_dev)[:self.B0],
+                              self.pack_cols * 4)
+            fin = np.asarray(self.fin_dev)
+        results = []
+        for i in range(self.B0):
+            r = DevExtResult()
+            (r.max, zdr, r.max_q, r.max_t, r.mqe, r.mqe_t, r.mte, r.mte_q,
+             r.score) = (int(v) for v in res[i, :9])
+            r.zdropped = bool(zdr)
+            r.reach_end = False
+            r.cigar = np.zeros(0, np.uint32)
+            if self.with_cigar:
+                if (not r.zdropped and self.extz_only
+                        and r.mqe + self.end_bonus > r.max):
+                    r.reach_end = True
+                r.cigar = _rle_cigar_packed(ops[i], int(fin[i, 0]),
+                                            int(fin[i, 1]), self.rev_cigar)
+            results.append(r)
+        return results
+
+
+def _rle_cigar_packed(ops_col, i_fin, j_fin, rev_cigar):
+    """_rle_cigar for 2-bit-packed walks (idle sentinel 3)."""
+    walked = ops_col[::-1]
+    walked = walked[walked != 3].astype(np.int64)
+    parts = [walked]
+    if i_fin >= 0:
+        parts.append(np.full(i_fin + 1, 2, np.int64))
+    if j_fin >= 0:
+        parts.append(np.full(j_fin + 1, 1, np.int64))
+    full = np.concatenate(parts) if len(parts) > 1 else walked
+    if len(full) == 0:
+        return np.zeros(0, np.uint32)
+    if not rev_cigar:
+        full = full[::-1]
+    change = np.flatnonzero(np.diff(full)) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(full)]])
+    lens = ends - starts
+    return ((lens.astype(np.uint32) << 4) | full[starts].astype(np.uint32))

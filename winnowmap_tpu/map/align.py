@@ -58,8 +58,35 @@ def gen_simple_mat(a: int, b: int, sc_ambi: int) -> np.ndarray:
     return mat
 
 
+class JobSeq:
+    """A zero-copy sequence operand for an extension job: a contiguous view
+    into a resident pool array (a read's fwd/rev strand or the reference
+    codes), plus a reversed flag.  The host kernels materialize it; the
+    device path resolves it to (pool, offset, sign) so per-job sequence
+    bytes never cross the host link."""
+
+    __slots__ = ("view", "rev")
+
+    def __init__(self, view, rev=False):
+        self.view = view
+        self.rev = rev
+
+    def __len__(self):
+        return len(self.view)
+
+    def materialize(self):
+        v = self.view[::-1] if self.rev else self.view
+        return np.ascontiguousarray(v)
+
+
+def _seq_of(x):
+    return x.materialize() if isinstance(x, JobSeq) else x
+
+
 def align_pair(opt, qseq, tseq, mat, w, end_bonus, zdrop, flag):
     """Kernel dispatch (reference mm_align_pair, align.c:313-339)."""
+    qseq = _seq_of(qseq)
+    tseq = _seq_of(tseq)
     qlen, tlen = len(qseq), len(tseq)
     if opt.max_sw_mat > 0 and tlen * qlen > opt.max_sw_mat:
         r = native.ExtResult.__new__(native.ExtResult)
@@ -694,8 +721,8 @@ def align1_gen(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
     qseq_dir = qseq0[rev]
 
     if qs > 0 and rs > 0:  # left extension
-        qseq = qseq_dir[qs0:qs][::-1].copy()
-        tseq = mi.getseq(rid, rs0, rs)[::-1].copy()
+        qseq = JobSeq(qseq_dir[qs0:qs], rev=True)
+        tseq = JobSeq(mi.getseq(rid, rs0, rs), rev=True)
         ez = yield (
             opt, qseq, tseq, mat, bw, opt.end_bonus,
             opt.zdrop_inv if r.split_inv else opt.zdrop,
@@ -748,13 +775,13 @@ def align1_gen(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
                 zdrop_code = 0
             else:
                 ez = yield (
-                    opt, qseq, tseq, mat, bw1, -1, opt.zdrop,
+                    opt, JobSeq(qseq), JobSeq(tseq), mat, bw1, -1, opt.zdrop,
                     extra_flag | WM_EZ_APPROX_MAX,
                 )
                 zdrop_code = test_zdrop(opt, qseq, tseq, ez.cigar, mat)
                 if zdrop_code != 0:
                     ez = yield (
-                        opt, qseq, tseq, mat, bw1, -1,
+                        opt, JobSeq(qseq), JobSeq(tseq), mat, bw1, -1,
                         opt.zdrop_inv if zdrop_code == 2 else opt.zdrop,
                         extra_flag,
                     )
@@ -788,8 +815,8 @@ def align1_gen(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
         qseq = qseq_dir[qe:qe0]
         tseq = mi.getseq(rid, re, re0)
         ez = yield (
-            opt, qseq, tseq, mat, bw, opt.end_bonus, opt.zdrop,
-            extra_flag | WM_EZ_EXTZ_ONLY,
+            opt, JobSeq(qseq), JobSeq(tseq), mat, bw, opt.end_bonus,
+            opt.zdrop, extra_flag | WM_EZ_EXTZ_ONLY,
         )
         if len(ez.cigar) > 0:
             _append_cigar(r, ez.cigar)
@@ -838,7 +865,7 @@ def align1_inv_gen(opt, mi, qlen, qseq0, r1: Reg, r2: Reg):
     if tl < opt.min_chain_score or tl > opt.max_gap:
         return None
     mat = gen_simple_mat(opt.a, opt.b, opt.sc_ambi)
-    tseq = mi.getseq(r1.rid, r1.re, r2.rs).copy()
+    tseq = mi.getseq(r1.rid, r1.re, r2.rs)
     if r1.rev:
         qseq = qseq0[0][r2.qe : r2.qe + ql].copy()
     else:
@@ -849,8 +876,8 @@ def align1_inv_gen(opt, mi, qlen, qseq0, r1: Reg, r2: Reg):
     q_off = ql - (q_off + 1)
     t_off = tl - (t_off + 1)
     ez = yield (
-        opt, qseq[q_off:], tseq[t_off:], mat, int(opt.bw * 1.5), -1,
-        opt.zdrop, WM_EZ_EXTZ_ONLY,
+        opt, JobSeq(qseq[q_off:]), JobSeq(tseq[t_off:]), mat,
+        int(opt.bw * 1.5), -1, opt.zdrop, WM_EZ_EXTZ_ONLY,
     )
     if len(ez.cigar) == 0:
         return None
@@ -882,16 +909,19 @@ def align_skeleton(opt, mi, qlen, qstr: bytes, regs: list[Reg], ax, ay):
                          opt)
 
 
-def align_skeleton_gen(opt, mi, qlen, qstr: bytes, regs: list[Reg], ax, ay):
+def align_skeleton_gen(opt, mi, qlen, qstr: bytes, regs: list[Reg], ax, ay,
+                       qseq0=None):
     """Align all chains of one read (reference mm_align_skeleton,
-    align.c:864-920)."""
-    from ..io.seqcode import encode
+    align.c:864-920).  `qseq0` optionally supplies precomputed (fwd, rev)
+    strand code views (pool slices for the device path)."""
+    if qseq0 is None:
+        from ..io.seqcode import encode
 
-    fwd = encode(qstr)
-    rev = fwd[::-1].copy()
-    m = rev < 4
-    rev[m] = 3 - rev[m]
-    qseq0 = [fwd, rev]
+        fwd = encode(qstr)
+        rev = fwd[::-1].copy()
+        m = rev < 4
+        rev[m] = 3 - rev[m]
+        qseq0 = [fwd, rev]
 
     n_a, ax, ay = squeeze_a(regs, ax, ay)
     i = 0

@@ -19,8 +19,9 @@ from collections import defaultdict
 import numpy as np
 
 from ..options import MM_F_SPLICE, stage2_options
-from .align import align_pair
-from .frag import MapResult, McasState, _map_vanilla_gen, mcas_stage2_gen
+from .align import JobSeq, align_pair
+from .frag import (MapResult, McasState, _map_vanilla_gen, make_qseq0,
+                   mcas_stage2_gen)
 
 # jobs whose padded DP exceeds this per-side length run on the host instead
 MAX_DEV_LEN = 32768
@@ -88,13 +89,26 @@ STATS = defaultdict(float)
 CALL_LOG = []
 
 
-def run_ext_tasks(tasks: list[_Task]) -> None:
+def _resolve_job(pools, job):
+    """Pool coordinates for a device job, or None if not pool-backed."""
+    opt, qseq, tseq, mat, w, end_bonus, zdrop, flag = job
+    if not (isinstance(qseq, JobSeq) and isinstance(tseq, JobSeq)):
+        return None
+    qr = pools.resolve(qseq)
+    tr = pools.resolve(tseq)
+    if qr is None or tr is None or qr[0] != 0 or tr[0] != 1:
+        return None
+    return ((0, qr[1], len(qseq), qseq.rev), (1, tr[1], len(tseq), tseq.rev),
+            w, zdrop)
+
+
+def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
     """Advance every task to completion, batching device-eligible jobs."""
     import time
 
-    from ..extend.pallas_kernel import DevCall
+    from ..extend.pallas_kernel import DevCallPooled
 
-    use_dev = _use_device()
+    use_dev = _use_device() and pools is not None
     for t in tasks:
         t.advance()
     while True:
@@ -104,8 +118,11 @@ def run_ext_tasks(tasks: list[_Task]) -> None:
         STATS["rounds"] += 1
         buckets = defaultdict(list)
         host_jobs = []
+        resolved = {}
         for t in pending:
-            if use_dev and _device_eligible(t.job):
+            rj = _resolve_job(pools, t.job) if use_dev else None
+            if rj is not None and _device_eligible(t.job):
+                resolved[id(t)] = rj
                 buckets[_bucket_key(t.job)].append(t)
             else:
                 host_jobs.append(t)
@@ -129,11 +146,9 @@ def run_ext_tasks(tasks: list[_Task]) -> None:
             cap = max(MIN_DEV_BATCH, int(MAX_DIRS_BYTES // max(1, per_job)))
             for lo in range(0, len(ts), cap):
                 chunk = ts[lo:lo + cap]
-                call = DevCall(
-                    [t.job[1] for t in chunk], [t.job[2] for t in chunk],
-                    mat, opt.q, opt.e, opt.q2, opt.e2,
-                    [t.job[4] for t in chunk], [t.job[6] for t in chunk],
-                    end_bonus, flag)
+                call = DevCallPooled(
+                    pools, [resolved[id(t)] for t in chunk],
+                    mat, opt.q, opt.e, opt.q2, opt.e2, end_bonus, flag)
                 inflight.append((call, chunk))
                 STATS["dev_calls"] += 1
                 STATS["dev_jobs"] += len(chunk)
@@ -148,6 +163,8 @@ def run_ext_tasks(tasks: list[_Task]) -> None:
 
         t0 = time.time()
         for call, chunk in inflight:
+            call.start_fetch()
+        for call, chunk in inflight:
             tc = time.time()
             for t, ez in zip(chunk, call.collect()):
                 t.advance(ez)
@@ -156,11 +173,40 @@ def run_ext_tasks(tasks: list[_Task]) -> None:
         STATS["dev_s"] += time.time() - t0
 
 
+def _build_pools(mi, seqs):
+    """Concatenate every read's fwd+rev strand codes into one pool array and
+    hand out per-read views; upload pools to the device."""
+    from ..extend.pallas_kernel import PoolContext
+    from ..io.seqcode import encode
+
+    total = sum(2 * len(s) for s in seqs)
+    # pad the pool to a quantized size so the on-device assemble function
+    # compiles once, not once per batch
+    cap = max(total, 1)
+    step = 4 << 20
+    cap = (cap + step - 1) // step * step
+    qpool = np.zeros(cap, np.uint8)
+    qseq0s = []
+    o = 0
+    for seq in seqs:
+        L = len(seq)
+        fwd = encode(seq)
+        qpool[o:o + L] = fwd
+        rev = fwd[::-1]
+        m = rev < 4
+        qpool[o + L:o + 2 * L] = np.where(m, 3 - rev, rev)
+        qseq0s.append([qpool[o:o + L], qpool[o + L:o + 2 * L]])
+        o += 2 * L
+    pools = PoolContext(qpool, mi.codes) if _use_device() else None
+    return pools, qseq0s
+
+
 def map_batch(mi, opt, seqs, qnames) -> list[MapResult]:
     """Map a batch of reads, TPU-batched (bit-identical to per-read
     frag.map_one; reference mm_map semantics, src/map.c:279-981)."""
     n = len(seqs)
     results: list[MapResult | None] = [None] * n
+    pools, qseq0s = _build_pools(mi, seqs)
 
     trial_tasks: list[_Task] = []
     stage2_inputs = []  # (idx, state)
@@ -171,17 +217,17 @@ def map_batch(mi, opt, seqs, qnames) -> list[MapResult]:
             results[i] = MapResult([], 0, 0)
             continue
         if opt.sv_aware and qlen >= opt.sv_aware_min_read_length:
-            st = McasState(mi, opt, seq, qnames[i])
+            st = McasState(mi, opt, seq, qnames[i], qseq0=qseq0s[i])
             stage2_inputs.append((i, st))
             for g in st.trial_gens(mi, seq, qnames[i]):
                 trial_tasks.append(_Task(g))
         else:
-            t = _Task(_map_vanilla_gen(mi, opt, seq, qnames[i]))
+            t = _Task(_map_vanilla_gen(mi, opt, seq, qnames[i],
+                                       qseq0=qseq0s[i]))
             vanilla_tasks.append((i, t))
 
-    # phase 1: all
-
-    run_ext_tasks(trial_tasks + [t for _, t in vanilla_tasks])
+    # phase 1: all MCAS substring trials + vanilla reads together
+    run_ext_tasks(trial_tasks + [t for _, t in vanilla_tasks], pools)
     for i, t in vanilla_tasks:
         results[i] = t.value
 
@@ -190,7 +236,7 @@ def map_batch(mi, opt, seqs, qnames) -> list[MapResult]:
     for i, st in stage2_inputs:
         t = _Task(mcas_stage2_gen(mi, opt, seqs[i], qnames[i], st))
         stage2_tasks.append((i, t))
-    run_ext_tasks([t for _, t in stage2_tasks])
+    run_ext_tasks([t for _, t in stage2_tasks], pools)
     for i, t in stage2_tasks:
         results[i] = t.value
     return results

@@ -87,12 +87,12 @@ def chain_post(opt, max_chain_gap_ref, mi, qlen, n_segs, regs, ax, ay):
     return regs
 
 
-def align_regs_gen(opt, mi, qlen, seq: bytes, regs, ax, ay):
+def align_regs_gen(opt, mi, qlen, seq: bytes, regs, ax, ay, qseq0=None):
     """(reference align_regs, map.c:267-277)"""
     if not (opt.flag & MM_F_CIGAR):
         return regs
     regs, ax, ay = yield from align_skeleton_gen(opt, mi, qlen, seq, regs,
-                                                 ax, ay)
+                                                 ax, ay, qseq0=qseq0)
     if not (opt.flag & MM_F_ALL_CHAINS):
         set_parent(opt.mask_level, opt.mask_len, regs, opt.a * 2 + opt.b,
                    opt.flag & MM_F_HARD_MLEVEL, opt.alt_drop)
@@ -120,7 +120,8 @@ def _pipeline_once(mi, opt, qlen, seq, qname, hash_, run_est_err=True):
         opt)
 
 
-def _pipeline_once_gen(mi, opt, qlen, seq, qname, hash_, run_est_err=True):
+def _pipeline_once_gen(mi, opt, qlen, seq, qname, hash_, run_est_err=True,
+                       qseq0=None):
     """One seed->chain->post->align->mapq pass (the shared core of both the
     vanilla path and each MCAS substring trial, reference map.c:343-470).
     Yields extension-DP jobs (see align.align1_gen)."""
@@ -144,7 +145,8 @@ def _pipeline_once_gen(mi, opt, qlen, seq, qname, hash_, run_est_err=True):
     # so the dv: tag is effectively never populated by winnowmap.
     if not is_sr and run_est_err:
         est_err(mi, qlen, regs, ax, ay, sh.mini_pos)
-    regs = yield from align_regs_gen(opt, mi, qlen, seq, regs, ax, ay)
+    regs = yield from align_regs_gen(opt, mi, qlen, seq, regs, ax, ay,
+                                     qseq0=qseq0)
     set_mapq(regs, opt.min_chain_score, opt.a, sh.rep_len, is_sr)
     return regs, ax, ay, sh.rep_len, max_gap_ref
 
@@ -165,13 +167,13 @@ def _map_vanilla(mi, opt, seq, qname, collected=None) -> MapResult:
     return drive_ext_gen(_map_vanilla_gen(mi, opt, seq, qname), opt)
 
 
-def _map_vanilla_gen(mi, opt, seq, qname):
+def _map_vanilla_gen(mi, opt, seq, qname, qseq0=None):
     """Single-pass path (reference map.c:848-954; also the fallback when
     MCAS found no anchors)."""
     qlen = len(seq)
     hash_ = _frag_hash(qname, qlen, opt.seed)
     regs, ax, ay, rep_len, frag_gap = yield from _pipeline_once_gen(
-        mi, opt, qlen, seq, qname, hash_, run_est_err=False
+        mi, opt, qlen, seq, qname, hash_, run_est_err=False, qseq0=qseq0
     )
     return MapResult(regs, rep_len, frag_gap)
 
@@ -185,7 +187,7 @@ def _stage2_chain(mi, opt3, qlen, seq, qname, ax_in, ay_in, rep_len,
 
 
 def _stage2_chain_gen(mi, opt3, qlen, seq, qname, ax_in, ay_in, rep_len,
-                      rep_len_defined=True):
+                      rep_len_defined=True, qseq0=None):
     """Stage-2 chain/align from a pooled anchor set (reference
     map.c:848-954 with pre-collected anchors)."""
     is_sr = bool(opt3.flag & MM_F_SR)
@@ -201,7 +203,8 @@ def _stage2_chain_gen(mi, opt3, qlen, seq, qname, ax_in, ay_in, rep_len,
     regs = hitmod.gen_regs(hash_, qlen, u, ax, ay)
     regs = chain_post(opt3, max_gap_ref, mi, qlen, 1, regs, ax, ay)
     # stage 2 skips mm_est_err (reference map.c:928-929 commented out)
-    regs = yield from align_regs_gen(opt3, mi, qlen, seq, regs, ax, ay)
+    regs = yield from align_regs_gen(opt3, mi, qlen, seq, regs, ax, ay,
+                                     qseq0=qseq0)
     set_mapq(regs, opt3.min_chain_score, opt3.a, rep_len, is_sr)
     return MapResult(regs, rep_len, max_gap_ref, rep_len_defined)
 
@@ -211,13 +214,14 @@ class McasState:
     generators for different start positions write disjoint slots, mirroring
     the reference's OpenMP-parallel substring loop (map.c:317-334)."""
 
-    def __init__(self, mi, opt, seq, qname):
+    def __init__(self, mi, opt, seq, qname, qseq0=None):
         self.qlen = len(seq)
         self.opt2 = stage1_options(opt)
         self.n_starts = 1 + math.ceil(self.qlen / self.opt2.suffix_sample_offset)
         self.collect_ax = [None] * self.n_starts
         self.collect_ay = [None] * self.n_starts
         self.seq_mapped = np.zeros(self.qlen, dtype=bool)
+        self.qseq0 = qseq0 if qseq0 is not None else make_qseq0(seq)
 
     def trial_gens(self, mi, seq, qname):
         return [self._trial_gen(mi, seq, qname, sid)
@@ -236,7 +240,7 @@ class McasState:
                 found, n_regs0 = yield from _mcas_try_gen(
                     mi, opt2, seq, qname, sub_begin, sub_len, False, qlen,
                     self.collect_ax, self.collect_ay, self.seq_mapped,
-                    suffix_id,
+                    suffix_id, self.qseq0,
                 )
                 if found or not n_regs0:
                     return
@@ -244,7 +248,7 @@ class McasState:
                 found, n_regs0 = yield from _mcas_try_gen(
                     mi, opt2, seq, qname, sub_begin, sub_len, True, qlen,
                     self.collect_ax, self.collect_ay, self.seq_mapped,
-                    suffix_id,
+                    suffix_id, self.qseq0,
                 )
                 if found or not n_regs0:
                     return
@@ -310,15 +314,38 @@ def mcas_stage2_gen(mi, opt, seq, qname, st: McasState):
     if ax is None:  # MCAS unusable: vanilla fallback with original options
         # NB: fallback jobs carry `opt`, not opt3 (scoring identical; only
         # band/gap params differ and those ride inside each job tuple)
-        result = yield from _map_vanilla_gen(mi, opt, seq, qname)
+        result = yield from _map_vanilla_gen(mi, opt, seq, qname,
+                                             qseq0=st.qseq0)
         return result
     result = yield from _stage2_chain_gen(mi, opt3, qlen, seq, qname, ax, ay,
-                                          rep_len, rep_len_defined)
+                                          rep_len, rep_len_defined,
+                                          qseq0=st.qseq0)
     return result
 
 
+def make_qseq0(seq: bytes):
+    """Encode a read's fwd/rev strand code arrays (the pool rows that all of
+    its extension jobs slice into)."""
+    from ..io.seqcode import encode
+
+    fwd = encode(seq)
+    rev = fwd[::-1].copy()
+    m = rev < 4
+    rev[m] = 3 - rev[m]
+    return [fwd, rev]
+
+
+def sub_qseq0(qseq0, qlen, start, sub_len):
+    """Strand views for the substring [start, start+sub_len) of a read whose
+    full-strand pools are qseq0: fwd slice of fwd, rev slice of rev (the
+    revcomp of a substring is a substring of the revcomp)."""
+    fwd = qseq0[0][start:start + sub_len]
+    rev = qseq0[1][qlen - start - sub_len:qlen - start]
+    return [fwd, rev]
+
+
 def _mcas_try_gen(mi, opt2, seq, qname, sub_begin, sub_len, left, qlen,
-                  collect_ax, collect_ay, seq_mapped, suffix_id):
+                  collect_ax, collect_ay, seq_mapped, suffix_id, qseq0=None):
     """Try mapping one substring; on success save its shifted anchors
     (reference map.c:346-515 right, 518-687 left)."""
     if left:
@@ -327,8 +354,9 @@ def _mcas_try_gen(mi, opt2, seq, qname, sub_begin, sub_len, left, qlen,
         start = sub_begin
     sub = seq[start : start + sub_len]
     hash_ = _frag_hash(qname, sub_len, opt2.seed)
+    sub_q0 = sub_qseq0(qseq0, qlen, start, sub_len) if qseq0 is not None else None
     regs0, ax, ay, rep_len, _ = yield from _pipeline_once_gen(
-        mi, opt2, sub_len, sub, qname, hash_, run_est_err=True
+        mi, opt2, sub_len, sub, qname, hash_, run_est_err=True, qseq0=sub_q0
     )
     n_regs0 = len(regs0)
     for r in regs0:
