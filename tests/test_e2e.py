@@ -96,3 +96,17 @@ def test_sam_svon_equal_mod_ub(golden_dir, capsys):
     gold = (golden_dir / "golden_svon.sam").read_text()
     n_ub = _assert_equal_mod_ub(strip(out), strip(gold), mapq_field=4)
     assert n_ub <= 6
+
+
+def test_index_dump_load_roundtrip(golden_dir, tmp_path, capsys):
+    """Prebuilt-index workflow parity (reference mm_idx_dump/load + reader
+    auto-detect, src/index.c:515-649)."""
+    idx = tmp_path / "t.wmi"
+    rc = cli_main(["-W", str(golden_dir / "t_rep_k15.txt"),
+                   "-d", str(idx), str(golden_dir / "t_ref.fa")])
+    assert rc == 0
+    capsys.readouterr()
+    out = _run_cli(
+        ["--sv-off", "-c", str(idx), str(golden_dir / "t_reads.fa")], capsys)
+    gold = (golden_dir / "golden_svoff.paf").read_text()
+    assert out == gold

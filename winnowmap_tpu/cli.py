@@ -84,6 +84,8 @@ def main(argv: list[str] | None = None) -> int:
     out_path = None
     rg = None
     w_file = None
+    idx_dump = None
+    tpu_batch = False
     n_threads = 3
     i = 0
 
@@ -104,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
             i += 1  # handled in first pass
         elif a == "-W":
             w_file = take()
+        elif a == "-d":
+            idx_dump = take()
+        elif a == "--tpu-batch":
+            tpu_batch = True
         elif a == "-k":
             io.k = int(take())
         elif a == "-w":
@@ -248,22 +254,36 @@ def main(argv: list[str] | None = None) -> int:
 
     target = pos[0]
     queries = pos[1:]
-    records = read_all(target)
-    mi = build_index(records, io.w, io.k, io.flag, wset, bool(io.flag & 1))
+    from .index.io import dump_index, is_index_file, load_index
+
+    if is_index_file(target):
+        mi = load_index(target)
+        if w_file and len(wset) and len(mi.wset) != len(wset):
+            warn("prebuilt index: -W list ignored (stored set used)")
+    else:
+        records = read_all(target)
+        mi = build_index(records, io.w, io.k, io.flag, wset,
+                         bool(io.flag & 1))
     phase_log("index", mi.stat_line())
     update_mid_occ(mo, mi)
 
+    if idx_dump:
+        dump_index(mi, idx_dump)
+        phase_log("index", f"index dumped to {idx_dump}")
     if not queries:
-        warn("no query file given; index built only (index dump TBD)")
+        if not idx_dump:
+            warn("no query file given; index built only (use -d to save it)")
         return 0
 
     if mo.flag & MM_F_OUT_SAM:
         cl = "winnowmap-tpu " + " ".join(argv)
         print(sam_header(mi, rg, __version__, cl), file=out)
 
+    if tpu_batch:
+        enable_compile_cache()
     n = 0
     for qf in queries:
-        n += map_file(mi, mo, qf, out=out)
+        n += map_file(mi, mo, qf, out=out, batched=tpu_batch)
     phase_log(
         "main",
         f"Version: {__version__}; CMD: winnowmap-tpu {' '.join(argv)}",

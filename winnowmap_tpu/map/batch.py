@@ -26,7 +26,7 @@ from .frag import (MapResult, McasState, _map_vanilla_gen, make_qseq0,
 # jobs whose padded DP exceeds this per-side length run on the host instead
 MAX_DEV_LEN = 32768
 # minimum bucket size worth a device round-trip (latency ~27 ms)
-MIN_DEV_BATCH = 24
+MIN_DEV_BATCH = 8
 # cap the direction-tensor footprint of one device call
 MAX_DIRS_BYTES = 2 << 30
 
@@ -88,6 +88,9 @@ def _device_eligible(job):
 STATS = defaultdict(float)
 CALL_LOG = []
 
+# flush host-side when a bucket cannot fill and nothing is in flight
+MAX_INFLIGHT_BYTES = 6 << 30
+
 
 def _resolve_job(pools, job):
     """Pool coordinates for a device job, or None if not pool-backed."""
@@ -103,74 +106,109 @@ def _resolve_job(pools, job):
 
 
 def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
-    """Advance every task to completion, batching device-eligible jobs."""
+    """Event-driven scheduler: advance generators, accumulate device-eligible
+    jobs into shape buckets (across dependency depths), dispatch a bucket as
+    soon as it can fill a device call, and feed results back the moment each
+    call lands.  Host kernels absorb jobs only when the pipeline would
+    otherwise stall.  Bit-identical to the sequential path by construction
+    (the device kernels match the host oracle)."""
     import time
+    from collections import deque
 
     from ..extend.pallas_kernel import DevCallPooled
 
     use_dev = _use_device() and pools is not None
+    queues: dict = defaultdict(list)
+    resolved: dict = {}
+    inflight: deque = deque()
+    inflight_bytes = 0
+
+    def host_run(t):
+        while not t.done:
+            job = t.job
+            rj = _resolve_job(pools, job) if use_dev else None
+            if rj is not None and _device_eligible(job):
+                resolved[id(t)] = rj
+                queues[_bucket_key(job)].append(t)
+                return
+            t0 = time.time()
+            t.advance(align_pair(job[0], *job[1:]))
+            STATS["host_s"] += time.time() - t0
+            STATS["host_jobs"] += 1
+
+    def enqueue(t):
+        if t.done:
+            return
+        job = t.job
+        rj = _resolve_job(pools, job) if use_dev else None
+        if rj is not None and _device_eligible(job):
+            resolved[id(t)] = rj
+            queues[_bucket_key(job)].append(t)
+        else:
+            host_run(t)
+
+    def call_bytes(key, n):
+        wq, Lq, Lt = key[7], key[8], key[9]
+        n_col = min(min(Lq, Lt), wq + 1)
+        Wb = ((n_col + 15) // 16 + 3) * 16
+        return n * (Lq + Lt) * ((Wb + 127) // 128 * 128)
+
+    def dispatch(key, ts):
+        nonlocal inflight_bytes
+        opt = ts[0].job[0]
+        mat = ts[0].job[3]
+        end_bonus, flag = key[5], key[6]
+        per_job = call_bytes(key, 1)
+        cap = max(MIN_DEV_BATCH, int(MAX_DIRS_BYTES // max(1, per_job)))
+        for lo in range(0, len(ts), cap):
+            chunk = ts[lo:lo + cap]
+            t0 = time.time()
+            call = DevCallPooled(
+                pools, [resolved[id(t)] for t in chunk], mat, opt.q, opt.e,
+                opt.q2, opt.e2, end_bonus, flag)
+            call.start_fetch()
+            STATS["dispatch_s"] += time.time() - t0
+            STATS["dev_calls"] += 1
+            STATS["dev_jobs"] += len(chunk)
+            inflight.append((call, chunk, per_job * len(chunk)))
+            inflight_bytes += per_job * len(chunk)
+
     for t in tasks:
         t.advance()
-    while True:
-        pending = [t for t in tasks if not t.done]
-        if not pending:
-            return
-        STATS["rounds"] += 1
-        buckets = defaultdict(list)
-        host_jobs = []
-        resolved = {}
-        for t in pending:
-            rj = _resolve_job(pools, t.job) if use_dev else None
-            if rj is not None and _device_eligible(t.job):
-                resolved[id(t)] = rj
-                buckets[_bucket_key(t.job)].append(t)
-            else:
-                host_jobs.append(t)
-        # dispatch every device-eligible bucket asynchronously first, then
-        # run host jobs while the TPU works, then collect in order
-        t0 = time.time()
-        inflight = []  # (DevCall, tasks)
-        for key, ts in buckets.items():
-            if len(ts) < MIN_DEV_BATCH:
-                host_jobs.extend(ts)
-                STATS["host_small"] += len(ts)
-                continue
-            opt = ts[0].job[0]
-            mat = ts[0].job[3]
-            end_bonus, flag = key[5], key[6]
-            # cap per-call dirs footprint
-            wq, Lq, Lt = key[7], key[8], key[9]
-            n_col = min(min(Lq, Lt), wq + 1)
-            Wb = ((n_col + 15) // 16 + 3) * 16
-            per_job = (Lq + Lt) * ((Wb + 127) // 128 * 128)
-            cap = max(MIN_DEV_BATCH, int(MAX_DIRS_BYTES // max(1, per_job)))
-            for lo in range(0, len(ts), cap):
-                chunk = ts[lo:lo + cap]
-                call = DevCallPooled(
-                    pools, [resolved[id(t)] for t in chunk],
-                    mat, opt.q, opt.e, opt.q2, opt.e2, end_bonus, flag)
-                inflight.append((call, chunk))
-                STATS["dev_calls"] += 1
-                STATS["dev_jobs"] += len(chunk)
-        STATS["dispatch_s"] += time.time() - t0
+        enqueue(t)
 
-        t0 = time.time()
-        for t in host_jobs:
-            job = t.job
-            t.advance(align_pair(job[0], *job[1:]))
-            STATS["host_jobs"] += 1
-        STATS["host_s"] += time.time() - t0
-
-        t0 = time.time()
-        for call, chunk in inflight:
-            call.start_fetch()
-        for call, chunk in inflight:
-            tc = time.time()
-            for t, ez in zip(chunk, call.collect()):
+    while queues or inflight:
+        # dispatch every bucket that can fill a call; sub-minimum buckets
+        # stay queued and keep accumulating across dependency rounds
+        for key in sorted(queues, key=lambda k: -len(queues[k])):
+            ts = queues[key]
+            if len(ts) >= MIN_DEV_BATCH and inflight_bytes < MAX_INFLIGHT_BYTES:
+                del queues[key]
+                dispatch(key, ts)
+        if not inflight:
+            # every remaining task is parked in a sub-minimum bucket:
+            # run one host job each to make progress
+            stragglers = [t for ts in queues.values() for t in ts]
+            queues.clear()
+            STATS["host_small"] += len(stragglers)
+            for t in stragglers:
+                job = t.job
+                t0 = time.time()
+                t.advance(align_pair(job[0], *job[1:]))
+                STATS["host_s"] += time.time() - t0
+                enqueue(t)
+            continue
+        # drain the whole in-flight wave so collects overlap
+        while inflight:
+            call, chunk, nbytes = inflight.popleft()
+            inflight_bytes -= nbytes
+            t0 = time.time()
+            ezs = call.collect()
+            STATS["dev_s"] += time.time() - t0
+            CALL_LOG.append((call.R, len(chunk), time.time() - t0))
+            for t, ez in zip(chunk, ezs):
                 t.advance(ez)
-            if "calls_log" in STATS.__class__.__dict__ or True:
-                CALL_LOG.append((call.R, len(chunk), time.time() - tc))
-        STATS["dev_s"] += time.time() - t0
+                enqueue(t)
 
 
 def _build_pools(mi, seqs):

@@ -98,7 +98,8 @@ def _cal_fuzzy_len(r: Reg, ax, ay) -> None:
 
 def _i32(v) -> int:
     """(int32_t)x of a uint64 payload."""
-    return int(np.int32(np.uint32(U64(v) & U64(0xFFFFFFFF))))
+    x = int(v) & 0xFFFFFFFF
+    return x - 0x100000000 if x >= 0x80000000 else x
 
 
 def reg_set_coor(r: Reg, qlen: int, ax, ay) -> None:

@@ -35,7 +35,8 @@ def _build() -> Path:
         return out
     _BUILD_DIR.mkdir(exist_ok=True)
     cmd = (
-        ["g++", "-O2", "-g", "-fPIC", "-shared", "-std=c++17", "-o", str(out)]
+        ["g++", "-O3", "-march=native", "-funroll-loops", "-g", "-fPIC",
+         "-shared", "-std=c++17", "-o", str(out)]
         + [str(_SRC_DIR / s) for s in _SOURCES]
         + ["-lz"]
     )
