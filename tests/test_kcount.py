@@ -98,3 +98,29 @@ def test_device_counting_matches_host(ref_records):
     dev = count_kmers_device(ref_records, 15)
     assert np.array_equal(host.kmers, dev.kmers)
     assert np.array_equal(host.counts, dev.counts)
+
+
+def test_meryl_lookup_oracle_parity(golden_dir, tmp_path):
+    """meryl-lookup report types byte-match the reference tool (oracle
+    outputs generated from ext/meryl meryl-lookup on the same DB; large
+    reports committed as md5)."""
+    import hashlib
+
+    from winnowmap_tpu.meryl_cli import main as meryl_main
+    from winnowmap_tpu.meryl_lookup_cli import main as ml_main
+
+    db = tmp_path / "db"
+    assert meryl_main(["count", "k=15", "output", str(db),
+                       str(golden_dir / "t_ref.fa")]) == 0
+    for mode in ("existence", "include", "bed", "bed-runs", "exclude"):
+        out = tmp_path / f"{mode}.out"
+        assert ml_main([f"-{mode}", "-sequence",
+                        str(golden_dir / "t_reads.fa"),
+                        "-output", str(out), "-mers", str(db)]) == 0
+        data = out.read_bytes()
+        if mode == "existence":
+            assert data.decode() == (
+                golden_dir / "golden_lookup_existence.txt").read_text()
+        else:
+            want = (golden_dir / f"golden_lookup_{mode}.md5").read_text().strip()
+            assert hashlib.md5(data).hexdigest() == want

@@ -108,6 +108,8 @@ def main(argv: list[str] | None = None) -> int:
             w_file = take()
         elif a == "-d":
             idx_dump = take()
+        elif a == "-T":
+            mo.sdust_thres = int(take())
         elif a == "--tpu-batch":
             tpu_batch = True
         elif a == "-k":

@@ -25,6 +25,8 @@ def collect_minimizers(opt, mi, qlens, seqs):
     total = 0
     for i, (qlen, seq) in enumerate(zip(qlens, seqs)):
         x, y = native.sketch(seq, mi.w, mi.k, i, bool(mi.flag & 1), mi.wset)
+        if opt.sdust_thres > 0:
+            x, y = dust_minimizers(x, y, seq, opt.sdust_thres)
         y = y + np.uint64(total << 1)
         xs.append(x)
         ys.append(y)
@@ -32,6 +34,30 @@ def collect_minimizers(opt, mi, qlens, seqs):
     if xs:
         return np.concatenate(xs), np.concatenate(ys)
     return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+
+
+def dust_minimizers(x, y, seq, sdust_thres):
+    """Drop minimizers mostly inside low-complexity regions (reference
+    mm_dust_minier, map.c:43-67: keep if at most half the span is masked)."""
+    dreg = native.sdust(seq, sdust_thres, 64)
+    if len(dreg) == 0 or len(x) == 0:
+        return x, y
+    ds = (dreg >> np.uint64(32)).astype(np.int64)
+    de = (dreg & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    qpos = ((y & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(np.int64)
+    span = (x & np.uint64(0xFF)).astype(np.int64)
+    s = qpos - (span - 1)
+    e = s + span
+    keep = np.ones(len(x), dtype=bool)
+    for j in range(len(x)):
+        lo = np.searchsorted(de, s[j], side="right")
+        l = 0
+        v = lo
+        while v < len(ds) and ds[v] < e[j]:
+            l += min(e[j], de[v]) - max(s[j], ds[v])
+            v += 1
+        keep[j] = l <= span[j] >> 1
+    return x[keep], y[keep]
 
 
 @dataclass

@@ -19,7 +19,7 @@ import numpy as np
 _SRC_DIR = Path(__file__).parent / "src"
 _BUILD_DIR = Path(__file__).parent / "_build"
 _SOURCES = ["wm_ksw.cpp", "wm_chain.cpp", "wm_sketch.cpp", "wm_fastx.cpp",
-            "wm_cigar.cpp"]
+            "wm_cigar.cpp", "wm_sdust.cpp"]
 
 
 def _lib_path() -> Path:
@@ -139,6 +139,10 @@ def lib() -> ctypes.CDLL:
             ctypes.POINTER(_ExtraIO),
         ]
         L.wm_update_extra.restype = None
+
+        L.wm_sdust.argtypes = [u8p, ctypes.c_int64, ctypes.c_int,
+                               ctypes.c_int, ctypes.POINTER(pu64)]
+        L.wm_sdust.restype = ctypes.c_int64
 
         L.wm_fastx_open.argtypes = [ctypes.c_char_p]
         L.wm_fastx_open.restype = ctypes.c_void_p
@@ -310,3 +314,18 @@ def update_extra(qseq, tseq, cigar, mat, q, e, is_eqx, *, qs, qe, rs, re, rev):
         "blen": io.blen, "mlen": io.mlen, "n_ambi": io.n_ambi,
         "dp_max": io.dp_max,
     }
+
+
+def sdust(seq, thres: int, win: int = 64) -> np.ndarray:
+    """Low-complexity intervals start<<32|end (reference sdust_core,
+    src/sdust.c:134-166)."""
+    L = lib()
+    seq = np.frombuffer(bytes(seq), dtype=np.uint8)
+    out = ctypes.POINTER(ctypes.c_uint64)()
+    n = L.wm_sdust(np.ascontiguousarray(seq), len(seq), thres, win,
+                   ctypes.byref(out))
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    res = np.ctypeslib.as_array(out, (n,)).copy()
+    L.wm_free(out)
+    return res
