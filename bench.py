@@ -30,7 +30,7 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 BASELINE_READS_PER_SEC = 104.0  # reference winnowmap -t1, same corpus (see above)
-N_BENCH_READS = 100  # subset mapped by the bench (scales linearly)
+N_BENCH_READS = 200  # subset mapped by the bench (scales linearly)
 
 
 def log(msg):

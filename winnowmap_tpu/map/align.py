@@ -585,11 +585,17 @@ def adjust_minier(mi, qseq0, axv, ayv):
 def drive_ext_gen(gen, opt=None):
     """Run an extension-job generator to completion with the host kernels
     (the sequential path; the batched TPU driver lives in map/batch.py).
-    Each yielded job is (opt, qseq, tseq, mat, w, end_bonus, zdrop, flag)."""
+    Each yielded job is (opt, qseq, tseq, mat, w, end_bonus, zdrop, flag);
+    a yielded *list* of jobs receives a list of results (chain-level job
+    groups, mirroring that the fill segments of one chain are independent
+    DP problems)."""
     try:
         job = next(gen)
         while True:
-            ez = align_pair(job[0], *job[1:])
+            if isinstance(job, list):
+                ez = [align_pair(j[0], *j[1:]) for j in job]
+            else:
+                ez = align_pair(job[0], *job[1:])
             job = gen.send(ez)
     except StopIteration as e:
         return e.value
@@ -738,78 +744,107 @@ def align1_gen(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
     re1, qe1 = rs, qs
     assert qs1 >= 0 and rs1 >= 0
 
+    # Gap filling between anchors (reference align.c:665-770), restructured
+    # for batch execution: the segment boundaries depend only on the anchors
+    # (never on DP results), so every fill segment of the chain is
+    # enumerated first and yielded as ONE job group; the results are then
+    # consumed sequentially with the reference's exact two-pass z-drop /
+    # split semantics (a z-dropped segment discards the speculative work of
+    # the segments after it, exactly like the reference's loop break).
+    segs = []  # (i, qs, qe, rs, re, bw1)
+    rs_e, qs_e = rs, qs
+    re_e = qe_e = None
     i = cnt1 - 1 if is_sr else 1
-    while i < cnt1:  # gap filling
+    while i < cnt1:
         if (int(ay[as1 + i]) & (MM_SEED_IGNORE | MM_SEED_TANDEM)) and i != cnt1 - 1:
             i += 1
             continue
         if is_sr and not (mi.flag & 1):
-            re = _i32(ax[as1 + i]) + 1
-            qe = _i32(ay[as1 + i]) + 1
+            re_e = _i32(ax[as1 + i]) + 1
+            qe_e = _i32(ay[as1 + i]) + 1
         else:
-            re, qe = adjust_minier(mi, qseq0, ax[as1 + i], ay[as1 + i])
-        re1, qe1 = re, qe
+            re_e, qe_e = adjust_minier(mi, qseq0, ax[as1 + i], ay[as1 + i])
         if i == cnt1 - 1 or (int(ay[as1 + i]) & MM_SEED_LONG_JOIN) or (
-            qe - qs >= opt.min_ksw_len and re - rs >= opt.min_ksw_len
+            qe_e - qs_e >= opt.min_ksw_len and re_e - rs_e >= opt.min_ksw_len
         ):
             bw1 = bw
             if int(ay[as1 + i]) & MM_SEED_LONG_JOIN:
-                bw1 = max(qe - qs, re - rs)
-            qseq = qseq_dir[qs:qe]
-            tseq = mi.getseq(rid, rs, re)
-            if is_sr:  # ungapped
-                assert qe - qs == re - rs
-                score = 0
-                for j in range(qe - qs):
-                    if qseq[j] >= 4 or tseq[j] >= 4:
-                        score += opt.e2
-                    else:
-                        score += opt.a if qseq[j] == tseq[j] else -opt.b
-                ez = native.ExtResult.__new__(native.ExtResult)
-                ez.score = score
-                ez.zdropped = False
-                ez.cigar = np.array([(qe - qs) << 4], dtype=np.uint32)
-                ez.max = 0
-                ez.max_q = ez.max_t = -1
-                ez.reach_end = False
-                zdrop_code = 0
-            else:
-                ez = yield (
-                    opt, JobSeq(qseq), JobSeq(tseq), mat, bw1, -1, opt.zdrop,
-                    extra_flag | WM_EZ_APPROX_MAX,
-                )
-                zdrop_code = test_zdrop(opt, qseq, tseq, ez.cigar, mat)
-                if zdrop_code != 0:
-                    ez = yield (
-                        opt, JobSeq(qseq), JobSeq(tseq), mat, bw1, -1,
-                        opt.zdrop_inv if zdrop_code == 2 else opt.zdrop,
-                        extra_flag,
-                    )
-            if len(ez.cigar) > 0:
-                _append_cigar(r, ez.cigar)
-            if ez.zdropped:
-                if r.p is None:
-                    r.p = Extra()
-                j = i - 1
-                while j >= 0:
-                    if _i32(ax[as1 + j]) <= rs + ez.max_t:
-                        break
-                    j -= 1
-                dropped = True
-                if j < 0:
-                    j = 0
-                r.p.dp_score += ez.max
-                re1 = rs + (ez.max_t + 1)
-                qe1 = qs + (ez.max_q + 1)
-                if cnt1 - (j + 1) >= opt.min_cnt:
-                    r2 = split_reg(r, as1 + j + 1 - r.as_, qlen, ax, ay)
-                    if r2 is not None and zdrop_code == 2:
-                        r2.split_inv = True
-                break
-            else:
-                r.p.dp_score += ez.score
-            rs, qs = re, qe
+                bw1 = max(qe_e - qs_e, re_e - rs_e)
+            segs.append((i, qs_e, qe_e, rs_e, re_e, bw1))
+            rs_e, qs_e = re_e, qe_e
         i += 1
+
+    if segs and not is_sr:
+        ezs = yield [
+            (opt, JobSeq(qseq_dir[sqs:sqe]), JobSeq(mi.getseq(rid, srs, sre)),
+             mat, bw1, -1, opt.zdrop, extra_flag | WM_EZ_APPROX_MAX)
+            for (_, sqs, sqe, srs, sre, bw1) in segs
+        ]
+    else:
+        ezs = []
+
+    for si, (i, qs, qe, rs, re, bw1) in enumerate(segs):
+        # NB: inside this loop rs/qs/re/qe take each segment's bounds, and
+        # after it they hold the last segment's end coords, matching the
+        # incremental updates of the reference loop.
+        qseq = qseq_dir[qs:qe]
+        tseq = mi.getseq(rid, rs, re)
+        if is_sr:  # ungapped
+            assert qe - qs == re - rs
+            score = 0
+            for j in range(qe - qs):
+                if qseq[j] >= 4 or tseq[j] >= 4:
+                    score += opt.e2
+                else:
+                    score += opt.a if qseq[j] == tseq[j] else -opt.b
+            ez = native.ExtResult.__new__(native.ExtResult)
+            ez.score = score
+            ez.zdropped = False
+            ez.cigar = np.array([(qe - qs) << 4], dtype=np.uint32)
+            ez.max = 0
+            ez.max_q = ez.max_t = -1
+            ez.reach_end = False
+            zdrop_code = 0
+        else:
+            ez = ezs[si]
+            zdrop_code = test_zdrop(opt, qseq, tseq, ez.cigar, mat)
+            if zdrop_code != 0:
+                ez = yield (
+                    opt, JobSeq(qseq), JobSeq(tseq), mat, bw1, -1,
+                    opt.zdrop_inv if zdrop_code == 2 else opt.zdrop,
+                    extra_flag,
+                )
+        if len(ez.cigar) > 0:
+            _append_cigar(r, ez.cigar)
+        if ez.zdropped:
+            if r.p is None:
+                r.p = Extra()
+            j = i - 1
+            while j >= 0:
+                if _i32(ax[as1 + j]) <= rs + ez.max_t:
+                    break
+                j -= 1
+            dropped = True
+            if j < 0:
+                j = 0
+            r.p.dp_score += ez.max
+            re1 = rs + (ez.max_t + 1)
+            qe1 = qs + (ez.max_q + 1)
+            if cnt1 - (j + 1) >= opt.min_cnt:
+                r2 = split_reg(r, as1 + j + 1 - r.as_, qlen, ax, ay)
+                if r2 is not None and zdrop_code == 2:
+                    r2.split_inv = True
+            break
+        else:
+            r.p.dp_score += ez.score
+    if not dropped:
+        # reference post-loop state: rs/qs advanced to the last filled
+        # segment's end; re/qe hold the last non-skipped anchor's coords
+        if segs:
+            rs, qs = segs[-1][4], segs[-1][2]
+        if re_e is not None:
+            re, qe = re_e, qe_e
+            re1, qe1 = re_e, qe_e
 
     if not dropped and qe < qe0 and re < re0:  # right extension
         qseq = qseq_dir[qe:qe0]

@@ -38,13 +38,15 @@ def _use_device() -> bool:
 
 
 class _Task:
-    __slots__ = ("gen", "job", "done", "value")
+    __slots__ = ("gen", "job", "done", "value", "sub_results", "sub_left")
 
     def __init__(self, gen):
         self.gen = gen
         self.job = None
         self.done = False
         self.value = None
+        self.sub_results = None
+        self.sub_left = 0
 
     def advance(self, send_val=None):
         try:
@@ -56,6 +58,20 @@ class _Task:
             self.done = True
             self.value = e.value
             self.job = None
+        if isinstance(self.job, list):
+            self.sub_results = [None] * len(self.job)
+            self.sub_left = len(self.job)
+
+    def deliver(self, k, ez):
+        """Deliver one unit's result; returns the send value when the task
+        is ready to advance, else None."""
+        if k is None:
+            return ez
+        self.sub_results[k] = ez
+        self.sub_left -= 1
+        if self.sub_left == 0:
+            return self.sub_results
+        return None
 
 
 def _bucket_key(job):
@@ -118,34 +134,35 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
     from ..extend.pallas_kernel import DevCallPooled
 
     use_dev = _use_device() and pools is not None
-    queues: dict = defaultdict(list)
-    resolved: dict = {}
+    queues: dict = defaultdict(list)  # key -> [(task, subidx, resolved_job)]
     inflight: deque = deque()
     inflight_bytes = 0
 
-    def host_run(t):
-        while not t.done:
-            job = t.job
-            rj = _resolve_job(pools, job) if use_dev else None
-            if rj is not None and _device_eligible(job):
-                resolved[id(t)] = rj
-                queues[_bucket_key(job)].append(t)
-                return
-            t0 = time.time()
-            t.advance(align_pair(job[0], *job[1:]))
-            STATS["host_s"] += time.time() - t0
-            STATS["host_jobs"] += 1
-
     def enqueue(t):
-        if t.done:
-            return
-        job = t.job
-        rj = _resolve_job(pools, job) if use_dev else None
-        if rj is not None and _device_eligible(job):
-            resolved[id(t)] = rj
-            queues[_bucket_key(job)].append(t)
-        else:
-            host_run(t)
+        # queue or host-run every unit of the task's current yield; keeps
+        # advancing through host-only yields until a device unit queues,
+        # a group is pending, or the task finishes
+        while not t.done:
+            jobs = t.job if isinstance(t.job, list) else [t.job]
+            ks = range(len(jobs)) if isinstance(t.job, list) else [None]
+            queued = False
+            send = None
+            for k, job in zip(ks, jobs):
+                rj = _resolve_job(pools, job) if use_dev else None
+                if rj is not None and _device_eligible(job):
+                    queues[_bucket_key(job)].append((t, k, rj, job))
+                    queued = True
+                else:
+                    t0 = time.time()
+                    ez = align_pair(job[0], *job[1:])
+                    STATS["host_s"] += time.time() - t0
+                    STATS["host_jobs"] += 1
+                    send = t.deliver(k, ez)
+            if queued:
+                return
+            if send is None and isinstance(t.job, list) and len(jobs) == 0:
+                send = []
+            t.advance(send)
 
     def call_bytes(key, n):
         wq, Lq, Lt = key[7], key[8], key[9]
@@ -153,18 +170,18 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
         Wb = ((n_col + 15) // 16 + 3) * 16
         return n * (Lq + Lt) * ((Wb + 127) // 128 * 128)
 
-    def dispatch(key, ts):
+    def dispatch(key, units):
         nonlocal inflight_bytes
-        opt = ts[0].job[0]
-        mat = ts[0].job[3]
+        opt = units[0][3][0]
+        mat = units[0][3][3]
         end_bonus, flag = key[5], key[6]
         per_job = call_bytes(key, 1)
         cap = max(MIN_DEV_BATCH, int(MAX_DIRS_BYTES // max(1, per_job)))
-        for lo in range(0, len(ts), cap):
-            chunk = ts[lo:lo + cap]
+        for lo in range(0, len(units), cap):
+            chunk = units[lo:lo + cap]
             t0 = time.time()
             call = DevCallPooled(
-                pools, [resolved[id(t)] for t in chunk], mat, opt.q, opt.e,
+                pools, [u[2] for u in chunk], mat, opt.q, opt.e,
                 opt.q2, opt.e2, end_bonus, flag)
             call.start_fetch()
             STATS["dispatch_s"] += time.time() - t0
@@ -181,21 +198,26 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
         # dispatch every bucket that can fill a call; sub-minimum buckets
         # stay queued and keep accumulating across dependency rounds
         for key in sorted(queues, key=lambda k: -len(queues[k])):
-            ts = queues[key]
-            if len(ts) >= MIN_DEV_BATCH and inflight_bytes < MAX_INFLIGHT_BYTES:
+            us = queues[key]
+            if len(us) >= MIN_DEV_BATCH and inflight_bytes < MAX_INFLIGHT_BYTES:
                 del queues[key]
-                dispatch(key, ts)
+                dispatch(key, us)
         if not inflight:
-            # every remaining task is parked in a sub-minimum bucket:
-            # run one host job each to make progress
-            stragglers = [t for ts in queues.values() for t in ts]
+            # every remaining unit is parked in a sub-minimum bucket:
+            # run them on the host to make progress
+            stragglers = [u for us in queues.values() for u in us]
             queues.clear()
             STATS["host_small"] += len(stragglers)
-            for t in stragglers:
-                job = t.job
+            ready = []
+            for t, k, rj, job in stragglers:
                 t0 = time.time()
-                t.advance(align_pair(job[0], *job[1:]))
+                ez = align_pair(job[0], *job[1:])
                 STATS["host_s"] += time.time() - t0
+                send = t.deliver(k, ez)
+                if send is not None:
+                    ready.append((t, send))
+            for t, send in ready:
+                t.advance(send)
                 enqueue(t)
             continue
         # drain the whole in-flight wave so collects overlap
@@ -206,8 +228,13 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
             ezs = call.collect()
             STATS["dev_s"] += time.time() - t0
             CALL_LOG.append((call.R, len(chunk), time.time() - t0))
-            for t, ez in zip(chunk, ezs):
-                t.advance(ez)
+            ready = []
+            for (t, k, rj, job), ez in zip(chunk, ezs):
+                send = t.deliver(k, ez)
+                if send is not None:
+                    ready.append((t, send))
+            for t, send in ready:
+                t.advance(send)
                 enqueue(t)
 
 
