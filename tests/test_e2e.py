@@ -110,3 +110,21 @@ def test_index_dump_load_roundtrip(golden_dir, tmp_path, capsys):
         ["--sv-off", "-c", str(idx), str(golden_dir / "t_reads.fa")], capsys)
     gold = (golden_dir / "golden_svoff.paf").read_text()
     assert out == gold
+
+
+def test_multipart_index_matches_single(golden_dir, capsys):
+    """-I multi-part mapping merges per-part hits back to the single-index
+    output (reference index-part loop main.c:384-424 + merge_hits
+    map.c:1050-1105)."""
+    single = _run_cli(
+        ["--sv-off", "-c", "-W", str(golden_dir / "t_rep_k15.txt"),
+         str(golden_dir / "t_ref.fa"), str(golden_dir / "t_reads.fa")],
+        capsys,
+    )
+    multi = _run_cli(
+        ["--sv-off", "-c", "-I", "100k",
+         "-W", str(golden_dir / "t_rep_k15.txt"),
+         str(golden_dir / "t_ref.fa"), str(golden_dir / "t_reads.fa")],
+        capsys,
+    )
+    assert multi == single

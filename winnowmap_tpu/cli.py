@@ -110,6 +110,8 @@ def main(argv: list[str] | None = None) -> int:
             idx_dump = take()
         elif a == "-T":
             mo.sdust_thres = int(take())
+        elif a == "-I":
+            io.batch_size = _num(take())
         elif a == "--tpu-batch":
             tpu_batch = True
         elif a == "-k":
@@ -284,8 +286,15 @@ def main(argv: list[str] | None = None) -> int:
     if tpu_batch:
         enable_compile_cache()
     n = 0
-    for qf in queries:
-        n += map_file(mi, mo, qf, out=out, batched=tpu_batch)
+    total_bp = sum(s_.length for s_ in mi.seqs)
+    if io.batch_size and total_bp > io.batch_size and not is_index_file(target):
+        from .map.pipeline import map_file_multipart
+
+        n = map_file_multipart(records, io, mo, wset, queries, out=out,
+                               batch_bp=io.batch_size, batched=tpu_batch)
+    else:
+        for qf in queries:
+            n += map_file(mi, mo, qf, out=out, batched=tpu_batch)
     phase_log(
         "main",
         f"Version: {__version__}; CMD: winnowmap-tpu {' '.join(argv)}",

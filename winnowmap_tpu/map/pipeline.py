@@ -87,3 +87,109 @@ def _write_read(mi, opt, rec, res, out) -> None:
                 rec.comment, bool(opt.flag & MM_F_COPY_COMMENT),
             )
         out.write(line + "\n")
+
+
+def map_file_multipart(all_records, io_opts, opt: MapOptions, wset, paths,
+                       out=sys.stdout, batch_bp: int = 4_000_000_000,
+                       batched: bool = False) -> int:
+    """Multi-part index mapping (reference -I + --split-prefix: index-part
+    loop main.c:384-424, per-part hit dumps merged by merge_hits,
+    map.c:1050-1105).  Reads are mapped against every index part; each
+    read's regions are concatenated with rid shifts, rep_len is the maximum
+    over parts, and primary selection + MAPQ are recomputed on the union."""
+    from ..index.build import build_index
+    from ..io.fastx import FastxReader
+    from ..options import MM_F_ALL_CHAINS, MM_F_HARD_MLEVEL, MM_F_SR
+    from ..options import update_mid_occ
+    from .batch import map_batch
+    from .frag import MapResult, map_one
+    from .hit import hit_sort, select_sub, set_mapq, set_parent, set_sam_pri
+
+    # split the reference into parts of ~batch_bp bases (reference
+    # mm_idx_reader_read accumulates until sum_len > batch_size,
+    # index.c:293-295)
+    parts = []
+    cur, cur_len = [], 0
+    for rec in all_records:
+        cur.append(rec)
+        cur_len += len(rec.seq)
+        if cur_len > batch_bp:
+            parts.append(cur)
+            cur, cur_len = [], 0
+    if cur:
+        parts.append(cur)
+
+    part_indexes = []
+    rid_shift = [0]
+    for prt in parts:
+        mi = build_index(prt, io_opts.w, io_opts.k, io_opts.flag, wset,
+                         bool(io_opts.flag & 1))
+        part_indexes.append(mi)
+        rid_shift.append(rid_shift[-1] + mi.n_seq)
+
+    # a merged metadata view for rid-based output (names/lengths/codes
+    # concatenated; no minimizer tables -- this is the reference's
+    # split-merge header/seq lookup, splitidx.c)
+    if len(parts) > 1:
+        import numpy as np
+
+        from ..index.build import MinimizerIndex, SeqMeta
+
+        merged = MinimizerIndex(w=io_opts.w, k=io_opts.k, flag=io_opts.flag)
+        off = 0
+        for mi in part_indexes:
+            for sm in mi.seqs:
+                merged.seqs.append(SeqMeta(sm.name, off, sm.length))
+                off += sm.length
+        merged.codes = np.concatenate([mi.codes for mi in part_indexes])
+    else:
+        merged = part_indexes[0]
+
+    n_processed = 0
+    is_sr = bool(opt.flag & MM_F_SR)
+    for path in paths:
+        with FastxReader(path) as reader:
+            while True:
+                batch = reader.read_batch(opt.mini_batch_size)
+                if batch is None:
+                    break
+                for i, rec in enumerate(batch):
+                    rec.rid = n_processed + i
+                order = sorted(range(len(batch)),
+                               key=lambda i: (len(batch[i].seq), i),
+                               reverse=True)
+                batch = [batch[i] for i in order]
+                per_part = []
+                for pi, mi in enumerate(part_indexes):
+                    import copy
+
+                    opt_p = copy.copy(opt)
+                    update_mid_occ(opt_p, mi)
+                    if batched:
+                        res = map_batch(mi, opt_p, [r.seq for r in batch],
+                                        [r.name for r in batch])
+                    else:
+                        res = [map_one(mi, opt_p, r.seq, r.name)
+                               for r in batch]
+                    for r in res:
+                        for reg in r.regs:
+                            reg.rid += rid_shift[pi]
+                    per_part.append(res)
+                for k, rec in enumerate(batch):
+                    regs = [reg for res in per_part for reg in res[k].regs]
+                    rep_len = max(res[k].rep_len for res in per_part)
+                    regs = hit_sort(regs, opt.alt_drop)
+                    set_parent(opt.mask_level, opt.mask_len, regs,
+                               opt.a * 2 + opt.b,
+                               opt.flag & MM_F_HARD_MLEVEL, opt.alt_drop)
+                    if not (opt.flag & MM_F_ALL_CHAINS):
+                        regs = select_sub(opt.pri_ratio, merged.k * 2,
+                                          opt.best_n, regs)
+                        set_sam_pri(regs)
+                    set_mapq(regs, opt.min_chain_score, opt.a, rep_len, is_sr)
+                    _write_read(merged, opt, rec,
+                                MapResult(regs, rep_len, 0), out)
+                n_processed += len(batch)
+                phase_log("map_file", f"mapped {len(batch)} sequences "
+                                      f"({len(parts)} index parts)")
+    return n_processed
