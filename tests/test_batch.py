@@ -64,24 +64,35 @@ TPU_SCRIPT = textwrap.dedent("""
     from winnowmap_tpu.options import (IndexOptions, MapOptions, MM_F_CIGAR,
                                        update_mid_occ)
 
+    from winnowmap_tpu.options import set_preset
+
     G = {golden!r}
-    io, mo = IndexOptions(), MapOptions()
-    mo.flag |= MM_F_CIGAR
-    wset = load_weight_set(G + "/t_rep_k15.txt", io.k)
-    mi = build_index(read_all(G + "/t_ref.fa"), io.w, io.k, io.flag, wset)
-    update_mid_occ(mo, mi)
-    batch = read_all(G + "/t_reads.fa")[:6]
 
-    def lines(rec, res):
-        return [pafmod.write_paf(mi, rec.name, len(rec.seq), r, mo.flag,
-                                 res.rep_len, rec.comment, False)
-                for r in res.regs]
+    def run_one(preset):
+        io, mo = IndexOptions(), MapOptions()
+        if preset:
+            set_preset(preset, io, mo)
+            io.k, io.w = 15, 50  # match the committed weight list
+        mo.flag |= MM_F_CIGAR
+        wset = load_weight_set(G + "/t_rep_k15.txt", io.k)
+        mi = build_index(read_all(G + "/t_ref.fa"), io.w, io.k, io.flag,
+                         wset)
+        update_mid_occ(mo, mi)
+        batch = read_all(G + "/t_reads.fa")[:6]
 
-    seq_res = [map_one(mi, mo, r.seq, r.name) for r in batch]
-    bat_res = map_batch(mi, mo, [r.seq for r in batch],
-                        [r.name for r in batch])
-    for rec, a, b in zip(batch, seq_res, bat_res):
-        assert lines(rec, a) == lines(rec, b), rec.name
+        def lines(rec, res):
+            return [pafmod.write_paf(mi, rec.name, len(rec.seq), r, mo.flag,
+                                     res.rep_len, rec.comment, False)
+                    for r in res.regs]
+
+        seq_res = [map_one(mi, mo, r.seq, r.name) for r in batch]
+        bat_res = map_batch(mi, mo, [r.seq for r in batch],
+                            [r.name for r in batch])
+        for rec, a, b in zip(batch, seq_res, bat_res):
+            assert lines(rec, a) == lines(rec, b), (preset, rec.name)
+
+    run_one(None)       # map-ont defaults: extd device kernels
+    run_one("asm20")    # single gap cost: extz device kernels
     print("TPU-BATCH-PARITY-OK")
 """)
 

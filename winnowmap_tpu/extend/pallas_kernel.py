@@ -1143,6 +1143,7 @@ class DevCallPooled:
                  end_bonus, flag, TB=32):
         # jobs: list of (qdesc, tdesc, w, zdrop) where qdesc/tdesc =
         # (pool_sel, off, ln, rev)
+        is_extz = (q == q2 and e == e2)
         if q2 + e2 < q + e:
             q, q2 = q2, q
             e, e2 = e2, e
@@ -1172,10 +1173,18 @@ class DevCallPooled:
         self.R = R
         self.R_act = int((qlen + tlen).max()) - 1
 
-        run, (WQ, WT, QOFF, SOFF) = _compiled_extd_pallas(
-            B, TB, Lq, Lt, R, Wb, q, e, q2, e2, W_MAX, approx_max,
-            right_gaps, self.with_cigar, approx_drop, int(mat[0]),
-            int(mat[1]), sc_n)
+        if is_extz:
+            sc_n_b = (int(mat[24]) if mat[24] != 0 else -e) & 255
+            max_sc = (int(mat[0]) + 2 * (q + e)) & 255
+            run, (WQ, WT, QOFF, SOFF) = _compiled_extz_pallas(
+                B, TB, Lq, Lt, R, Wb, q, e, W_MAX, approx_max, right_gaps,
+                self.with_cigar, approx_drop, int(mat[0]) & 255,
+                int(mat[1]) & 255, sc_n_b, max_sc)
+        else:
+            run, (WQ, WT, QOFF, SOFF) = _compiled_extd_pallas(
+                B, TB, Lq, Lt, R, Wb, q, e, q2, e2, W_MAX, approx_max,
+                right_gaps, self.with_cigar, approx_drop, int(mat[0]),
+                int(mat[1]), sc_n)
 
         # affine descriptor per job: value(c) = pool[a + sgn*c] inside the
         # masked window (see module docstring for the layout derivation)
@@ -1274,3 +1283,434 @@ def _rle_cigar_packed(ops_col, i_fin, j_fin, rev_cigar):
     ends = np.concatenate([change, [len(full)]])
     lens = ends - starts
     return ((lens.astype(np.uint32) << 4) | full[starts].astype(np.uint32))
+
+
+def _build_extz_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, W_MAX,
+                       approx_max, right_gaps, with_cigar, approx_drop,
+                       sc_mch, sc_mis, sc_n, max_sc):
+    """Single-gap-cost wavefront (reference ksw_extz2_sse,
+    src/ksw2_extz2_sse.c): the SIMD kernel keeps *biased unsigned* uint8
+    state with a mix of signed and unsigned comparisons; here the biased
+    bytes live in i32 lanes, wrapped with & 255 after arithmetic and viewed
+    signed via a low-byte sign-extend, bit-identical to the oracle.  Window
+    machinery (common trajectory, right-aligned queries, per-row masks) is
+    shared with the extd kernel -- see the module docstring."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i8 = jnp.int8
+    i32 = jnp.int32
+    u8 = jnp.uint8
+    qe = q + e
+    qe2 = 2 * (q + e)
+
+    def basefn(r):
+        st0c = jnp.maximum(jnp.maximum(0, r - Lq + 1), (r - W_MAX + 1) >> 1)
+        return (st0c // 16) * 16 - 16
+
+    IDX = {k: v for v, k in enumerate(
+        "mx zdr max_q max_t mqe mqe_t mte mte_q score H0 lH0t done".split())}
+    S_STRIDE = Wb // 4 + 2
+    assert 4 * S_STRIDE + Wb + 8 < 4096
+    assert R * e + 2 * q < -H_CLAMP
+
+    def kernel(qbuf_ref, sf_ref, qlen_ref, tlen_ref, w_ref, zdrop_ref,
+               *rest):
+        if with_cigar:
+            res_ref, dirs_ref, u_s, v_s, x_s, y_s, s_s, H_s, acc_s = rest
+        else:
+            res_ref, u_s, v_s, x_s, y_s, s_s, H_s, acc_s = rest
+            dirs_ref = None
+        r = pl.program_id(1)
+
+        @pl.when(r == 0)
+        def _init():
+            z8 = jnp.zeros((TB, Wb), i8)
+            u_s[:] = z8
+            v_s[:] = z8
+            x_s[:] = z8
+            y_s[:] = z8
+            s_s[:] = z8
+            H_s[:] = jnp.full((TB, Wb), NEG_INF, i32)
+            col = jax.lax.broadcasted_iota(i32, (TB, 16), 1)
+            neg1 = ((col == IDX["max_q"]) | (col == IDX["max_t"])
+                    | (col == IDX["mqe_t"]) | (col == IDX["mte_q"]))
+            ninf = ((col == IDX["mqe"]) | (col == IDX["mte"])
+                    | (col == IDX["score"]))
+            acc_s[:] = jnp.where(neg1, -1, jnp.where(ninf, NEG_INF, 0))
+
+        qlen = qlen_ref[:]
+        tlen = tlen_ref[:]
+        acc = acc_s[:]
+        done = acc[:, IDX["done"]:IDX["done"] + 1]
+        base_w = basefn(r)
+        slide = jnp.logical_and(r >= 1, base_w != basefn(r - 1))
+
+        @pl.when(slide)
+        def _slide():
+            lane_hi = jax.lax.broadcasted_iota(i32, (TB, Wb), 1) >= Wb - 16
+
+            def roll16(ref, fill):
+                ref[:] = jnp.where(lane_hi, fill,
+                                   jnp.roll(ref[:], -16, axis=1))
+
+            roll16(u_s, jnp.int8(0))
+            roll16(v_s, jnp.int8(0))
+            roll16(x_s, jnp.int8(0))
+            roll16(y_s, jnp.int8(0))
+            roll16(s_s, jnp.int8(0))
+            roll16(H_s, jnp.int32(NEG_INF))
+
+        def _step_body(qlen, tlen, acc, done, base_w, r):
+            w = w_ref[:]
+            zdrop = zdrop_ref[:]
+            lanes = jax.lax.broadcasted_iota(i32, (TB, Wb), 1)
+            t_abs = base_w + lanes
+
+            active = jnp.logical_and(done == 0, r < qlen + tlen - 1)
+            st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
+            en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
+            collapse = jnp.logical_and(active, st0 > en0)
+            zdr = acc[:, IDX["zdr"]:IDX["zdr"] + 1]
+            zdr = jnp.where(collapse, 1, zdr)
+            done = jnp.where(collapse, 1, done)
+            active = jnp.logical_and(active, jnp.logical_not(collapse))
+
+            st = st0 // 16 * 16
+            en = (en0 + 16) // 16 * 16 - 1
+            st0p = jnp.maximum(jnp.maximum(0, (r - 1) - qlen + 1),
+                               ((r - 1) - w + 1) >> 1)
+            stp = st0p // 16 * 16
+            shift16 = jnp.logical_and(active,
+                                      jnp.logical_and(r >= 1, st > stp))
+            en0p = jnp.minimum(jnp.minimum(tlen - 1, r - 1),
+                               ((r - 1) + w) >> 1)
+            enp = (en0p + 16) // 16 * 16 - 1
+            in_prev = jnp.logical_and(st - 1 >= stp, st - 1 <= enp)
+            in_prev = jnp.logical_and(in_prev, r >= 1)
+            use_nat = jnp.logical_and(shift16, in_prev)
+            at_st = jnp.logical_and(t_abs == st, active)
+            at0 = st == 0
+
+            def wu8(a):  # biased-unsigned byte in an i32 lane
+                return a & 255
+
+            def s8(a):  # signed view of the low byte
+                return a.astype(i8).astype(i32)
+
+            u = u_s[:].astype(i32) & 255
+            v = v_s[:].astype(i32) & 255
+            x = x_s[:].astype(i32) & 255
+            y = y_s[:].astype(i32) & 255
+            s = s_s[:].astype(i32) & 255
+            H = H_s[:]
+
+            # u[r]/y[r] boundary cell (t == r)
+            has_r = jnp.logical_and(active,
+                                    jnp.logical_and(en >= r, r >= st))
+            onehot_r = jnp.logical_and(has_r, t_abs == r)
+            ub = jnp.where(r >= 1, q, 0)
+            y = jnp.where(onehot_r, 0, y)
+            u = jnp.where(onehot_r, ub, u)
+
+            def dyn_row(ref, off):
+                o_al = off // 128 * 128
+                rem = off - o_al
+                blk = ref[:, pl.ds(pl.multiple_of(o_al, 128), Wb + 128)]
+                blk = blk.astype(i32)
+                blk = pltpu.roll(blk, Wb + 128 - rem, axis=1)
+                return blk[:, :Wb]
+
+            o_q = QOFF - 1 - r + base_w
+            qv = dyn_row(qbuf_ref, o_q)
+            sfv = dyn_row(sf_ref, SOFF + base_w)
+            cover_last = st0 + (en0 - st0) // 16 * 16 + 15
+            s_mask = jnp.logical_and(
+                active, jnp.logical_and(t_abs >= st0, t_abs <= cover_last))
+            sc = jnp.where(
+                jnp.logical_or(sfv == 4, qv == 4),
+                jnp.int32(sc_n & 255),
+                jnp.where(sfv == qv, jnp.int32(sc_mch & 255),
+                          jnp.int32(sc_mis & 255)))
+            s = jnp.where(s_mask, sc, s)
+
+            band_mask = jnp.logical_and(
+                active, jnp.logical_and(t_abs >= st, t_abs <= en))
+
+            def shl1(a, fill):
+                lane0 = lanes == 0
+                return jnp.where(lane0, fill, jnp.roll(a, 1, axis=1))
+
+            x1n = shl1(x, 0)
+            v1n = shl1(v, 0)
+            not_nat = jnp.logical_and(at_st, jnp.logical_not(use_nat))
+            xt1 = jnp.where(not_nat, 0, x1n)
+            vt1 = jnp.where(not_nat, 0, v1n)
+            vt1 = jnp.where(jnp.logical_and(at_st, at0), ub, vt1)
+
+            z = wu8(s + qe2)
+            a_ = wu8(xt1 + vt1)
+            b_ = wu8(y + u)
+            zs = s8(z)
+            as_ = s8(a_)
+            bs = s8(b_)
+            if not right_gaps:
+                d = jnp.where(as_ > zs, 1, 0)
+                z = wu8(jnp.maximum(zs, as_))
+                d = jnp.where(bs > s8(z), 2, d)
+            else:
+                d = jnp.where(zs > as_, 0, 1)
+                z = wu8(jnp.maximum(zs, as_))
+                d = jnp.where(s8(z) > bs, d, 2)
+            z = jnp.maximum(z, b_)  # unsigned max (epu8)
+            z = jnp.minimum(z, jnp.int32(max_sc))  # unsigned min
+            u_new = wu8(z - vt1)
+            v_new = wu8(z - u)
+            zq = wu8(z - q)
+            an = wu8(a_ - zq)
+            bn = wu8(b_ - zq)
+            ans = s8(an)
+            bns = s8(bn)
+            if not right_gaps:
+                ax_, bx_ = ans > 0, bns > 0
+            else:
+                ax_, bx_ = jnp.logical_not(0 > ans), jnp.logical_not(0 > bns)
+            x_new = jnp.where(ax_, an, 0)
+            y_new = jnp.where(bx_, bn, 0)
+            d = d | jnp.where(ax_, 0x08, 0)
+            d = d | jnp.where(bx_, 0x10, 0)
+
+            u = jnp.where(band_mask, u_new, u)
+            v = jnp.where(band_mask, v_new, v)
+            x = jnp.where(band_mask, x_new, x)
+            y = jnp.where(band_mask, y_new, y)
+
+            u_s[:] = u.astype(i8)
+            v_s[:] = v.astype(i8)
+            x_s[:] = x.astype(i8)
+            y_s[:] = y.astype(i8)
+            s_s[:] = s.astype(i8)
+
+            if with_cigar:
+                dirs_ref[0, :, :] = jnp.where(band_mask, d, 0).astype(u8)
+
+            def lane_val(arr, pos):
+                return jnp.sum(jnp.where(t_abs == pos, arr, 0), axis=1,
+                               keepdims=True)
+
+            mx = acc[:, IDX["mx"]:IDX["mx"] + 1]
+            max_q = acc[:, IDX["max_q"]:IDX["max_q"] + 1]
+            max_t = acc[:, IDX["max_t"]:IDX["max_t"] + 1]
+            score = acc[:, IDX["score"]:IDX["score"] + 1]
+
+            if not approx_max:
+                mqe = acc[:, IDX["mqe"]:IDX["mqe"] + 1]
+                mqe_t = acc[:, IDX["mqe_t"]:IDX["mqe_t"] + 1]
+                mte = acc[:, IDX["mte"]:IDX["mte"] + 1]
+                mte_q = acc[:, IDX["mte_q"]:IDX["mte_q"] + 1]
+                vi = v
+                ui = u
+                H_en0_prev = lane_val(H, en0)
+                H_en0m1_prev = lane_val(H, en0 - 1)
+                u_en0 = lane_val(ui, en0)
+                v_en0 = lane_val(vi, en0)
+                Hen0_new = jnp.where(en0 >= 1, H_en0m1_prev + u_en0 - qe,
+                                     H_en0_prev + v_en0 - qe)
+                upd_mask = jnp.logical_and(t_abs >= st0, t_abs < en0)
+                H_upd = jnp.where(upd_mask, H + vi - qe, H)
+                H_upd = jnp.where(t_abs == en0, Hen0_new, H_upd)
+                H_r0 = jnp.where(t_abs == 0, vi - qe - qe, H)
+                H_new = jnp.where(r == 0, H_r0, H_upd)
+                H = jnp.where(active, H_new, H)
+                H_s[:] = H
+
+                en1 = st0 + (en0 - st0) // 4 * 4
+                p_rel = t_abs - st0
+                in_str = jnp.logical_and(t_abs >= st0, t_abs < en1)
+                in_tail = jnp.logical_and(t_abs >= en1, t_abs < en0)
+                rank = jnp.where(
+                    t_abs == en0, 0,
+                    jnp.where(in_str,
+                              1 + (p_rel & 3) * S_STRIDE + (p_rel >> 2),
+                              jnp.where(in_tail,
+                                        1 + 4 * S_STRIDE + (t_abs - en1),
+                                        4095)))
+                valid = jnp.logical_and(rank < 4095, active)
+                Hc = jnp.maximum(H, H_CLAMP)
+                K = jnp.where(valid, Hc * 4096 + (4095 - rank),
+                              jnp.int32(-0x7FFFFFFF))
+                Kmax = jnp.max(K, axis=1, keepdims=True)
+                max_H = jax.lax.shift_right_arithmetic(Kmax, 12)
+                max_tv = jnp.sum(jnp.where(K == Kmax, t_abs, 0), axis=1,
+                                 keepdims=True)
+                max_H = jnp.where(r == 0, lane_val(H, 0), max_H)
+                max_tv = jnp.where(r == 0, 0, max_tv)
+
+                H_en0_now = jnp.where(r == 0, lane_val(H, en0), Hen0_new)
+                H_st0_now = lane_val(H, st0)
+                mte_upd = jnp.logical_and(
+                    active, jnp.logical_and(en0 == tlen - 1,
+                                            H_en0_now > mte))
+                mte = jnp.where(mte_upd, H_en0_now, mte)
+                mte_q = jnp.where(mte_upd, r - en, mte_q)
+                mqe_upd = jnp.logical_and(
+                    active, jnp.logical_and(r - st0 == qlen - 1,
+                                            H_st0_now > mqe))
+                mqe = jnp.where(mqe_upd, H_st0_now, mqe)
+                mqe_t = jnp.where(mqe_upd, st0, mqe_t)
+
+                better = max_H > mx
+                mx_n = jnp.where(better, max_H, mx)
+                max_t_n = jnp.where(better, max_tv, max_t)
+                max_q_n = jnp.where(better, r - max_tv, max_q)
+                inquad = jnp.logical_and(
+                    jnp.logical_not(better),
+                    jnp.logical_and(max_tv >= max_t, r - max_tv >= max_q))
+                ldiff = jnp.abs((max_tv - max_t) - ((r - max_tv) - max_q))
+                dropped = jnp.logical_and(
+                    jnp.logical_and(inquad, zdrop >= 0),
+                    mx - max_H > zdrop + ldiff * e)
+                dropped = jnp.logical_and(active, dropped)
+                zdr = jnp.where(dropped, 1, zdr)
+                done = jnp.where(dropped, 1, done)
+                mx = jnp.where(active, mx_n, mx)
+                max_t = jnp.where(active, max_t_n, max_t)
+                max_q = jnp.where(active, max_q_n, max_q)
+                fin = jnp.logical_and(
+                    jnp.logical_and(active, jnp.logical_not(dropped)),
+                    jnp.logical_and(r == qlen + tlen - 2, en0 == tlen - 1))
+                score = jnp.where(fin, H_en0_now, score)
+                H0 = acc[:, IDX["H0"]:IDX["H0"] + 1]
+                lH0t = acc[:, IDX["lH0t"]:IDX["lH0t"] + 1]
+            else:
+                mqe = acc[:, IDX["mqe"]:IDX["mqe"] + 1]
+                mqe_t = acc[:, IDX["mqe_t"]:IDX["mqe_t"] + 1]
+                mte = acc[:, IDX["mte"]:IDX["mte"] + 1]
+                mte_q = acc[:, IDX["mte_q"]:IDX["mte_q"] + 1]
+                H0 = acc[:, IDX["H0"]:IDX["H0"] + 1]
+                lH0t = acc[:, IDX["lH0t"]:IDX["lH0t"] + 1]
+                vi = v
+                ui = u
+                d0 = lane_val(vi, lH0t) - qe
+                d1 = lane_val(ui, lH0t + 1) - qe
+                both_in = jnp.logical_and(
+                    jnp.logical_and(lH0t >= st0, lH0t <= en0),
+                    jnp.logical_and(lH0t + 1 >= st0, lH0t + 1 <= en0))
+                only_cur = jnp.logical_and(lH0t >= st0, lH0t <= en0)
+                H0_new = jnp.where(
+                    both_in, H0 + jnp.maximum(d0, d1),
+                    jnp.where(only_cur, H0 + d0, H0 + d1))
+                lH0t_new = jnp.where(
+                    jnp.logical_and(both_in, d1 > d0), lH0t + 1,
+                    jnp.where(only_cur, lH0t, lH0t + 1))
+                H0_new = jnp.where(r == 0, lane_val(vi, 0) - qe - qe, H0_new)
+                lH0t_new = jnp.where(r == 0, 0, lH0t_new)
+                H0 = jnp.where(active, H0_new, H0)
+                lH0t = jnp.where(active, lH0t_new, lH0t)
+                if approx_drop:
+                    better = H0 > mx
+                    mx_n = jnp.where(better, H0, mx)
+                    mt_n = jnp.where(better, lH0t, max_t)
+                    mq_n = jnp.where(better, r - lH0t, max_q)
+                    inquad = jnp.logical_and(
+                        jnp.logical_not(better),
+                        jnp.logical_and(lH0t >= max_t, r - lH0t >= max_q))
+                    ldiff = jnp.abs((lH0t - max_t) - ((r - lH0t) - max_q))
+                    dropped = jnp.logical_and(
+                        jnp.logical_and(jnp.logical_and(active, inquad),
+                                        zdrop >= 0),
+                        mx - H0 > zdrop + ldiff * e)
+                    zdr = jnp.where(dropped, 1, zdr)
+                    done = jnp.where(dropped, 1, done)
+                    mx = jnp.where(active, mx_n, mx)
+                    max_t = jnp.where(active, mt_n, max_t)
+                    max_q = jnp.where(active, mq_n, max_q)
+                fin = jnp.logical_and(
+                    active, jnp.logical_and(r == qlen + tlen - 2,
+                                            en0 == tlen - 1))
+                score = jnp.where(fin, H0, score)
+
+            pad = jnp.zeros((TB, 4), i32)
+            acc_s[:] = jnp.concatenate(
+                [mx, zdr.astype(i32), max_q, max_t, mqe, mqe_t, mte, mte_q,
+                 score, H0, lH0t, done.astype(i32), pad], axis=1)
+
+        inact = jnp.logical_or(done >= 1, r >= qlen + tlen - 1)
+        live = jnp.logical_not(jnp.all(inact))
+
+        @pl.when(live)
+        def _step():
+            _step_body(qlen, tlen, acc, done, base_w, r)
+
+        @pl.when(r == R - 1)
+        def _out():
+            res_ref[:] = acc_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=128)
+def _compiled_extz_pallas(B, TB, Lq, Lt, R, Wb, q, e, W_MAX, approx_max,
+                          right_gaps, with_cigar, approx_drop, sc_mch,
+                          sc_mis, sc_n, max_sc):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    QOFF = Lq + Lt + 16
+    SOFF = 16
+    WQ = _round_up(QOFF + Wb + 256, 128)
+    WT = _round_up(SOFF + Lt + Wb + 256, 128)
+    nB = B // TB
+    kernel = _build_extz_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e,
+                                W_MAX, approx_max, right_gaps, with_cigar,
+                                approx_drop, sc_mch, sc_mis, sc_n, max_sc)
+    in_specs = [
+        pl.BlockSpec((TB, WQ), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, WT), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((TB, Wb), jnp.int8),  # u
+        pltpu.VMEM((TB, Wb), jnp.int8),  # v
+        pltpu.VMEM((TB, Wb), jnp.int8),  # x
+        pltpu.VMEM((TB, Wb), jnp.int8),  # y
+        pltpu.VMEM((TB, Wb), jnp.int8),  # s
+        pltpu.VMEM((TB, Wb), jnp.int32),  # H
+        pltpu.VMEM((TB, 16), jnp.int32),  # acc
+    ]
+    if with_cigar:
+        out_shape = (
+            jax.ShapeDtypeStruct((B, 16), jnp.int32),
+            jax.ShapeDtypeStruct((R, B, Wb), jnp.uint8),
+        )
+        out_specs = (
+            pl.BlockSpec((TB, 16), lambda b, r: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, Wb), lambda b, r: (r, b, 0),
+                         memory_space=pltpu.VMEM),
+        )
+    else:
+        out_shape = (jax.ShapeDtypeStruct((B, 16), jnp.int32),)
+        out_specs = (
+            pl.BlockSpec((TB, 16), lambda b, r: (b, 0),
+                         memory_space=pltpu.VMEM),
+        )
+    call = pl.pallas_call(
+        kernel,
+        grid=(nB, R),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )
+    return jax.jit(call), (WQ, WT, QOFF, SOFF)

@@ -90,8 +90,6 @@ def _device_eligible(job):
     opt, qseq, tseq, mat, w, end_bonus, zdrop, flag = job
     if opt.flag & MM_F_SPLICE:
         return False
-    if opt.q == opt.q2 and opt.e == opt.e2:
-        return False  # extz kernel: host for now
     if len(qseq) == 0 or len(tseq) == 0:
         return False
     if len(qseq) > MAX_DEV_LEN or len(tseq) > MAX_DEV_LEN:
