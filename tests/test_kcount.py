@@ -112,7 +112,8 @@ def test_meryl_lookup_oracle_parity(golden_dir, tmp_path):
     db = tmp_path / "db"
     assert meryl_main(["count", "k=15", "output", str(db),
                        str(golden_dir / "t_ref.fa")]) == 0
-    for mode in ("existence", "include", "bed", "bed-runs", "exclude"):
+    for mode in ("existence", "include", "bed", "bed-runs", "exclude",
+                 "wig-count", "wig-depth"):
         out = tmp_path / f"{mode}.out"
         assert ml_main([f"-{mode}", "-sequence",
                         str(golden_dir / "t_reads.fa"),

@@ -20,7 +20,8 @@ from .io.fastx import read_all
 USAGE = """usage: meryl-lookup-tpu <report-type> \\
          -sequence <input1.fasta> [-output <output1>] \\
          -mers <input1.db> [...]
-  Report types: -existence | -include | -exclude | -bed | -bed-runs"""
+  Report types: -existence | -include | -exclude | -bed | -bed-runs |
+                -wig-count | -wig-depth"""
 
 
 def _kmer_codes(seq: bytes, k: int):
@@ -60,7 +61,8 @@ def main(argv: list[str] | None = None) -> int:
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a in ("-existence", "-include", "-exclude", "-bed", "-bed-runs"):
+        if a in ("-existence", "-include", "-exclude", "-bed", "-bed-runs",
+                 "-wig-count", "-wig-depth"):
             mode = a[1:]
         elif a == "-sequence":
             i += 1
@@ -111,6 +113,39 @@ def main(argv: list[str] | None = None) -> int:
                 if keep:
                     out.write(f">{rec.name} nKmers={n_found}\n")
                     out.write(rec.seq.decode() + "\n")
+            elif mode == "wig-count":
+                # reference dump.C:140-165,381-411: per-kmer summed DB
+                # counts at 1-based start positions, zeros skipped
+                out.write(f"variableStep chrom={rec.name}\n")
+                if len(pos):
+                    cnt = np.zeros(int(pos[-1]) + 1, np.int64)
+                    for kc in kcs:
+                        km = kc.kmers
+                        idx = np.searchsorted(km, canon)
+                        idxc = np.minimum(idx, max(len(km) - 1, 0))
+                        f = (idx < len(km)) & (km[idxc] == canon) \
+                            if len(km) else np.zeros(len(canon), bool)
+                        cnt[pos[f]] += kc.counts[idxc[f]]
+                    nz = np.nonzero(cnt)[0]
+                    for p_ in nz.tolist():
+                        out.write(f"{p_ + 1}\t{int(cnt[p_])}\n")
+            elif mode == "wig-depth":
+                # reference dump.C:221-243: kmer coverage depth via a
+                # difference array over [start, start+k) of found kmers
+                out.write(f"variableStep chrom={rec.name}\n")
+                hit = np.zeros(len(pos), bool)
+                for f in founds:
+                    hit |= f
+                ph = pos[hit]
+                if len(ph):
+                    maxp = int(ph[-1]) + k
+                    diff = np.zeros(maxp + 1, np.int64)
+                    np.add.at(diff, ph, 1)
+                    np.add.at(diff, ph + k, -1)
+                    depth = np.cumsum(diff)[:maxp]
+                    nz = np.nonzero(depth)[0]
+                    for p_ in nz.tolist():
+                        out.write(f"{p_ + 1}\t{int(depth[p_])}\n")
             elif mode in ("bed", "bed-runs"):
                 hit = np.zeros(len(pos), bool)
                 for f in founds:
