@@ -125,3 +125,42 @@ def test_meryl_lookup_oracle_parity(golden_dir, tmp_path):
         else:
             want = (golden_dir / f"golden_lookup_{mode}.md5").read_text().strip()
             assert hashlib.md5(data).hexdigest() == want
+
+
+def test_meryl_nested_op_tree(golden_dir, tmp_path, capsys):
+    """Nested [...] operation trees (reference merylCommandBuilder.C) give
+    the same result as the flat subcommands."""
+    from winnowmap_tpu.meryl_cli import main as meryl_main
+
+    a, b, u = tmp_path / "a", tmp_path / "b", tmp_path / "u"
+    assert meryl_main(["count", "k=15", "output", str(a),
+                       str(golden_dir / "t_ref.fa")]) == 0
+    assert meryl_main(["count", "k=15", "output", str(b),
+                       str(golden_dir / "t_reads.fa")]) == 0
+    assert meryl_main(["print", "union-sum", str(a), str(b)]) == 0
+    flat = capsys.readouterr().out
+    assert meryl_main(["print", "union-sum",
+                       "[", "count", "k=15", str(golden_dir / "t_ref.fa"), "]",
+                       "[", "count", "k=15", str(golden_dir / "t_reads.fa"),
+                       "]"]) == 0
+    tree = capsys.readouterr().out
+    assert tree == flat
+
+
+def test_meryl_import_roundtrip(golden_dir, tmp_path, capsys):
+    """meryl-import equivalent: 'KMER count' text -> DB -> print round-trips
+    (reference ext/meryl/src/meryl-import)."""
+    from winnowmap_tpu.meryl_cli import main as meryl_main
+
+    db = tmp_path / "db"
+    assert meryl_main(["count", "k=15", "output", str(db),
+                       str(golden_dir / "t_ref.fa")]) == 0
+    assert meryl_main(["print", str(db)]) == 0
+    text = capsys.readouterr().out
+    dump = tmp_path / "dump.txt"
+    dump.write_text(text)
+    imp = tmp_path / "imp"
+    assert meryl_main(["import", "-k", "15", "-kmers", str(dump),
+                       "-output", str(imp)]) == 0
+    assert meryl_main(["print", str(imp)]) == 0
+    assert capsys.readouterr().out == text

@@ -49,11 +49,104 @@ def _load_or_err(path: str) -> KmerCounts:
     return KmerCounts.load(path)
 
 
+def _apply_filter(kc: KmerCounts, filt, filt_arg) -> KmerCounts:
+    if filt is None:
+        return kc
+    if filt_arg.startswith("distinct="):
+        thr = kc.threshold_distinct(float(filt_arg.split("=", 1)[1]))
+    elif filt_arg.startswith("word-frequency="):
+        thr = kc.threshold_word_freq(float(filt_arg.split("=", 1)[1]))
+    else:
+        thr = int(filt_arg)
+    return getattr(kc, filt)(thr)
+
+
+def _eval_tree(tokens, use_device, k_inherit=None):
+    """Evaluate one nested meryl command expression (reference
+    merylCommandBuilder's [...] operation trees, merylCommandBuilder.C):
+    an action (count or a set op), modifiers (k=, output, filters), and
+    operands which are databases or bracketed sub-expressions."""
+    op = None
+    filt = filt_arg = None
+    k = k_inherit
+    out_db = None
+    do_print = False
+    children = []
+    files = []
+    i = 0
+    while i < len(tokens):
+        a = tokens[i]
+        if a == "[":
+            depth, j = 1, i + 1
+            while depth:
+                if tokens[j] == "[":
+                    depth += 1
+                elif tokens[j] == "]":
+                    depth -= 1
+                j += 1
+            children.append(_eval_tree(tokens[i + 1:j - 1], use_device, k))
+            i = j
+            continue
+        if a == "count":
+            op = "count"
+        elif a == "print":
+            do_print = True
+        elif a in ("histogram", "statistics"):
+            op = a
+        elif a in FILTERS:
+            filt = FILTERS[a]
+            i += 1
+            filt_arg = tokens[i]
+        elif a in BINOPS:
+            op = BINOPS[a]
+        elif a.startswith("k="):
+            k = int(a[2:])
+        elif a.startswith("memory=") or a.startswith("threads="):
+            pass
+        elif a == "output":
+            i += 1
+            out_db = tokens[i]
+        elif _is_db(a):
+            children.append(KmerCounts.load(a))
+        else:
+            files.append(a)
+        i += 1
+
+    if op == "count":
+        if k is None:
+            raise SystemExit("ERROR: count needs k=<size>")
+        recs = []
+        for f in files:
+            recs.extend(read_all(f))
+        kc = count_kmers(recs, k, use_device=use_device)
+    elif op in BINOPS.values():
+        if len(children) < 2:
+            raise SystemExit(f"ERROR: {op} needs two operands")
+        kc = getattr(children[0], op)(children[1])
+        for extra in children[2:]:
+            kc = getattr(kc, op)(extra)
+    elif children:
+        kc = children[0]
+    else:
+        raise SystemExit("ERROR: empty meryl expression")
+    kc = _apply_filter(kc, filt, filt_arg)
+    if out_db:
+        kc.save(out_db)
+    if do_print:
+        for line in kc.print_lines():
+            sys.stdout.write(line + "\n")
+    return kc
+
+
 def main(argv: list[str] | None = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     if not args:
         print(__doc__, file=sys.stderr)
         return 1
+
+    if "[" in args:  # nested operation tree
+        _eval_tree(args, os.environ.get("WM_KCOUNT_DEVICE", "0") == "1")
+        return 0
 
     do_print = False
     out_db = None
@@ -69,6 +162,17 @@ def main(argv: list[str] | None = None) -> int:
         a = args[i]
         if a == "count":
             op = "count"
+        elif a in ("import", "-kmers"):
+            op = "import" if a == "import" else op
+            if a == "-kmers":
+                i += 1
+                inputs.append(args[i])
+        elif a == "-k":
+            i += 1
+            k = int(args[i])
+        elif a == "-output":
+            i += 1
+            out_db = args[i]
         elif a == "print":
             do_print = True
         elif a in ("histogram", "statistics"):
@@ -101,6 +205,37 @@ def main(argv: list[str] | None = None) -> int:
             "meryl",
             f"counted {kc.n_total} total / {kc.n_distinct} distinct {k}-mers",
         )
+        if out_db:
+            kc.save(out_db)
+        if do_print:
+            _emit(kc, filt, filt_arg)
+        return 0
+
+    if op == "import":
+        # reference meryl-import (ext/meryl/src/meryl-import): text
+        # 'KMER<space>count' lines -> database; order is not significant
+        if k is None:
+            raise SystemExit("ERROR: import needs -k <kmer-size>")
+        import numpy as np
+
+        from .kcount import KmerCounts, seq_to_kmers
+
+        codes, counts = [], []
+        for path in inputs:
+            with open(path) as f:
+                for line in f:
+                    parts = line.split()
+                    if not parts:
+                        continue
+                    if len(parts[0]) != k:
+                        raise SystemExit(
+                            f"ERROR: kmer '{parts[0]}' length != k={k}")
+                    codes.append(int(seq_to_kmers(parts[0].encode(), k)[0]))
+                    counts.append(int(parts[1]) if len(parts) > 1 else 1)
+        codes = np.array(codes, np.uint64)
+        counts = np.array(counts, np.int64)
+        order = np.argsort(codes)
+        kc = KmerCounts(k, codes[order], counts[order])
         if out_db:
             kc.save(out_db)
         if do_print:
