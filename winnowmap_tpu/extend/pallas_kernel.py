@@ -969,79 +969,6 @@ def extd_cigar_device(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop, end_bonus,
                    flag, TB=TB).collect()
 
 
-def _extd_cigar_device_old(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop,
-                           end_bonus, flag, TB=32):
-    """(superseded by DevCall; kept for reference)"""
-    if q2 + e2 < q + e:
-        q, q2 = q2, q
-        e, e2 = e2, e
-    B0 = len(qseqs)
-    qlen = np.array([len(s) for s in qseqs], np.int32)
-    tlen = np.array([len(s) for s in tseqs], np.int32)
-    Lq = quantize_len(int(max(1, qlen.max())))
-    Lt = quantize_len(int(max(1, tlen.max())))
-    R = Lq + Lt - 1
-    n_col = min(min(Lq, Lt), w + 1)
-    Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32, 128)
-    B = _round_up(B0, TB)
-
-    mat = np.asarray(mat, np.int8)
-    sc_n = int(mat[24]) if mat[24] != 0 else None
-    with_cigar = not (flag & 0x01)
-    approx_max = bool(flag & 0x08)
-    approx_drop = bool(flag & 0x10)
-    right_gaps = bool(flag & 0x02)
-    extz_only = bool(flag & 0x40)
-    rev_cigar = bool(flag & 0x80)
-
-    run, (WQ, WT, QOFF, SOFF) = _compiled_extd_pallas(
-        B, TB, Lq, Lt, R, Wb, q, e, q2, e2, w, zdrop, approx_max, right_gaps,
-        with_cigar, approx_drop, int(mat[0]), int(mat[1]), sc_n)
-
-    qbuf = np.zeros((B, WQ), np.uint8)
-    sfbuf = np.zeros((B, WT), np.uint8)
-    for i, (qs, ts) in enumerate(zip(qseqs, tseqs)):
-        n = len(qs)
-        qbuf[i, QOFF - n:QOFF] = qs[::-1]
-        sfbuf[i, SOFF:SOFF + len(ts)] = ts
-    qlen_a = np.ones((B, 1), np.int32)
-    tlen_a = np.ones((B, 1), np.int32)
-    qlen_a[:B0, 0] = qlen
-    tlen_a[:B0, 0] = tlen
-
-    out = run(qbuf, sfbuf, qlen_a, tlen_a)
-    res = np.asarray(out[0])[:B0]
-
-    results = []
-    i0 = np.full(B0, -1, np.int64)
-    j0 = np.full(B0, -1, np.int64)
-    for i in range(B0):
-        r = DevExtResult()
-        (r.max, zdr, r.max_q, r.max_t, r.mqe, r.mqe_t, r.mte, r.mte_q,
-         r.score) = (int(v) for v in res[i, :9])
-        r.zdropped = bool(zdr)
-        r.reach_end = False
-        r.cigar = np.zeros(0, np.uint32)
-        # traceback start selection (reference ksw2_extd2_sse.c tail +
-        # wm_ksw.cpp:318-333)
-        if with_cigar:
-            if not r.zdropped and not extz_only:
-                i0[i], j0[i] = int(tlen[i]) - 1, int(qlen[i]) - 1
-            elif not r.zdropped and extz_only and r.mqe + end_bonus > r.max:
-                r.reach_end = True
-                i0[i], j0[i] = r.mqe_t, int(qlen[i]) - 1
-            elif r.max_t >= 0 and r.max_q >= 0:
-                i0[i], j0[i] = r.max_t, r.max_q
-        results.append(r)
-
-    if with_cigar:
-        cigs = traceback_batch(out[1], qlen, tlen, w, Lq, i0, j0,
-                               [rev_cigar] * B0, TB=TB)
-        for i, r in enumerate(results):
-            r.cigar = cigs[i]
-    return results
-
-
 @functools.lru_cache(maxsize=32)
 def _compiled_assemble(WQ, WT, QOFF, SOFF):
     """Device-side DP-buffer assembly: gather each job's query/target window
