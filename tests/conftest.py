@@ -47,3 +47,9 @@ def pytest_configure(config):
     import winnowmap_tpu
 
     winnowmap_tpu.enable_compile_cache()
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; apply it via
+    # the config API so the 8-device CPU mesh is real
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
