@@ -385,13 +385,10 @@ def update_extra_py(r: Reg, qseq, tseq, mat, q, e, is_eqx) -> None:
 
 
 def _collect_long_gaps(as1, cnt1, ax, ay, min_gap):
-    K = []
-    for i in range(1, cnt1):
-        gap = (_i32(ay[as1 + i]) - _i32(ay[as1 + i - 1])) - (
-            _i32(ax[as1 + i]) - _i32(ax[as1 + i - 1])
-        )
-        if gap < -min_gap or gap > min_gap:
-            K.append(i)
+    axi = ax[as1:as1 + cnt1].astype(np.uint32).astype(np.int32).astype(np.int64)
+    ayi = ay[as1:as1 + cnt1].astype(np.uint32).astype(np.int32).astype(np.int64)
+    gap = np.diff(ayi) - np.diff(axi)
+    K = (np.nonzero((gap < -min_gap) | (gap > min_gap))[0] + 1).tolist()
     return K if len(K) > 1 else []
 
 
@@ -495,31 +492,38 @@ def fix_bad_ends(r: Reg, ax, ay, bw, min_match):
     as_, cnt = r.as_, r.cnt
     if r.cnt < 3:
         return as_, cnt
-    m = l = int(ay[r.as_] >> U64(32) & U64(0xFF))
-    for i in range(r.as_ + 1, r.as_ + r.cnt - 1):
-        q_span = int(ay[i] >> U64(32) & U64(0xFF))
-        if int(ay[i]) & MM_SEED_LONG_JOIN:
+    a0, a1 = r.as_, r.as_ + r.cnt
+    ay_full = ay[a0:a1]
+    spans = ((ay_full >> U64(32)) & U64(0xFF)).astype(np.int64).tolist()
+    axi = ax[a0:a1].astype(np.uint32).astype(np.int32).astype(np.int64).tolist()
+    ayi = ay_full.astype(np.uint32).astype(np.int32).astype(np.int64).tolist()
+    lj = (ay_full.astype(np.int64) & np.int64(MM_SEED_LONG_JOIN)) != 0
+    lj = lj.tolist()
+    m = l = spans[0]
+    for i in range(1, r.cnt - 1):
+        q_span = spans[i]
+        if lj[i]:
             break
-        lr = _i32(ax[i]) - _i32(ax[i - 1])
-        lq = _i32(ay[i]) - _i32(ay[i - 1])
-        mn, mx = min(lr, lq), max(lr, lq)
+        lr = axi[i] - axi[i - 1]
+        lq = ayi[i] - ayi[i - 1]
+        mn, mx = (lr, lq) if lr < lq else (lq, lr)
         if mx - mn > l >> 1:
-            as_ = i
+            as_ = a0 + i
         l += mn
         m += mn if mn < q_span else q_span
         if l >= bw << 1 or (m >= min_match and m >= bw) or m >= r.mlen >> 1:
             break
-    cnt = r.as_ + r.cnt - as_
-    m = l = int(ay[r.as_ + r.cnt - 1] >> U64(32) & U64(0xFF))
-    for i in range(r.as_ + r.cnt - 2, as_, -1):
-        q_span = int(ay[i + 1] >> U64(32) & U64(0xFF))
-        if int(ay[i + 1]) & MM_SEED_LONG_JOIN:
+    cnt = a1 - as_
+    m = l = spans[r.cnt - 1]
+    for i in range(r.cnt - 2, as_ - a0, -1):
+        q_span = spans[i + 1]
+        if lj[i + 1]:
             break
-        lr = _i32(ax[i + 1]) - _i32(ax[i])
-        lq = _i32(ay[i + 1]) - _i32(ay[i])
-        mn, mx = min(lr, lq), max(lr, lq)
+        lr = axi[i + 1] - axi[i]
+        lq = ayi[i + 1] - ayi[i]
+        mn, mx = (lr, lq) if lr < lq else (lq, lr)
         if mx - mn > l >> 1:
-            cnt = i + 1 - as_
+            cnt = a0 + i + 1 - as_
         l += mn
         m += mn if mn < q_span else q_span
         if l >= bw << 1 or (m >= min_match and m >= bw) or m >= r.mlen >> 1:

@@ -86,14 +86,18 @@ def _cal_fuzzy_len(r: Reg, ax, ay) -> None:
     r.mlen = r.blen = 0
     if r.cnt <= 0:
         return
-    span0 = int(ay[r.as_] >> U64(32) & U64(0xFF))
-    r.mlen = r.blen = span0
-    for i in range(r.as_ + 1, r.as_ + r.cnt):
-        span = int(ay[i] >> U64(32) & U64(0xFF))
-        tl = _i32(ax[i]) - _i32(ax[i - 1])
-        ql = _i32(ay[i]) - _i32(ay[i - 1])
-        r.blen += max(tl, ql)
-        r.mlen += span if (tl > span and ql > span) else min(tl, ql)
+    a0, a1 = r.as_, r.as_ + r.cnt
+    spans = ((ay[a0:a1] >> U64(32)) & U64(0xFF)).astype(np.int64)
+    axi = ax[a0:a1].astype(np.uint32).astype(np.int32).astype(np.int64)
+    ayi = ay[a0:a1].astype(np.uint32).astype(np.int32).astype(np.int64)
+    tl = np.diff(axi)
+    ql = np.diff(ayi)
+    sp = spans[1:]
+    blen = int(spans[0] + np.maximum(tl, ql).sum())
+    mlen = int(spans[0] + np.where((tl > sp) & (ql > sp), sp,
+                                   np.minimum(tl, ql)).sum())
+    r.blen = blen
+    r.mlen = mlen
 
 
 def _i32(v) -> int:
