@@ -116,11 +116,41 @@ def collect_seed_hits(opt, max_occ, mi, qname, mv_x, mv_y, qlen) -> SeedHits:
     )
 
     total = int(rc[kidx].sum())
+    flag = opt.flag
+    check_skip = bool(flag & (MM_F_NO_DIAG | MM_F_NO_DUAL | MM_F_FOR_ONLY | MM_F_REV_ONLY))
+    if not check_skip and total:
+        # fully vectorized anchor construction (reference
+        # collect_seed_hits inner loop, map.c:232-252, fast path)
+        reps = rc[kidx].astype(np.int64)
+        starts = rs[kidx].astype(np.int64)
+        occ_idx = np.repeat(starts, reps) + (
+            np.arange(int(reps.sum()))
+            - np.repeat(np.cumsum(reps) - reps, reps))
+        rv = mi.pos[occ_idx]
+        src = np.repeat(kidx, reps)
+        qp_v = q_pos[src].astype(np.uint64)
+        span_v = spans[src].astype(np.uint64)
+        sid_v = seg_id[src].astype(np.uint64)
+        tan_v = is_tandem[src]
+        fwd = ((rv & np.uint64(1)) == (qp_v & np.uint64(1)))
+        rpos = (rv & np.uint64(0xFFFFFFFF)) >> np.uint64(1)
+        rhi = rv & np.uint64(0xFFFFFFFF00000000)
+        x = np.where(fwd, rhi | rpos,
+                     np.uint64(1) << np.uint64(63) | rhi | rpos)
+        qpos_half = qp_v >> np.uint64(1)
+        y_fwd = (span_v << np.uint64(32)) | qpos_half
+        qlen_u = np.uint64(qlen)
+        y_rev = (span_v << np.uint64(32)) | (
+            qlen_u - (qpos_half + np.uint64(1) - span_v) - np.uint64(1))
+        y = np.where(fwd, y_fwd, y_rev)
+        y |= sid_v << np.uint64(MM_SEED_SEG_SHIFT)
+        y = np.where(tan_v, y | np.uint64(MM_SEED_TANDEM), y)
+        order = np.argsort(x, kind="stable")
+        return SeedHits(x[order], y[order], int(rep_len), mini_pos)
+
     ax = np.empty(total, dtype=np.uint64)
     ay = np.empty(total, dtype=np.uint64)
     w = 0
-    flag = opt.flag
-    check_skip = bool(flag & (MM_F_NO_DIAG | MM_F_NO_DUAL | MM_F_FOR_ONLY | MM_F_REV_ONLY))
     name2rid = mi.name_to_rid() if (qname and (flag & (MM_F_NO_DIAG | MM_F_NO_DUAL))) else None
     for i in kidx:
         occ = mi.pos[rs[i] : rs[i] + rc[i]]
