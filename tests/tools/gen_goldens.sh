@@ -20,3 +20,7 @@ $BIN/winnowmap          -a -W t_rep_k15.txt t_ref.fa t_reads.fa 2>/dev/null > go
 # No-alignment (chain-only) PAF golden
 $BIN/winnowmap --sv-off    -W t_rep_k15.txt t_ref.fa t_reads.fa 2>/dev/null > golden_svoff_nocig.paf
 echo "goldens written to $OUT"
+# Splice goldens (synthetic RNA corpus; see tests/test_e2e.py for the
+# deterministic generator parameters, seed 4242)
+# $BIN/winnowmap -t 1 -x splice -c -W s_rep_k15.txt s_ref.fa s_reads.fa > golden_splice.paf
+# $BIN/winnowmap -t 1 -x splice -a -W s_rep_k15.txt s_ref.fa s_reads.fa > golden_splice.sam

@@ -41,6 +41,9 @@ WM_EZ_RIGHT = 0x02
 WM_EZ_APPROX_MAX = 0x08
 WM_EZ_EXTZ_ONLY = 0x40
 WM_EZ_REV_CIGAR = 0x80
+WM_EZ_SPLICE_FOR = 0x100
+WM_EZ_SPLICE_REV = 0x200
+WM_EZ_SPLICE_FLANK = 0x400
 
 
 def gen_simple_mat(a: int, b: int, sc_ambi: int) -> np.ndarray:
@@ -98,7 +101,8 @@ def align_pair(opt, qseq, tseq, mat, w, end_bonus, zdrop, flag):
         r.cigar = np.zeros(0, np.uint32)
         return r
     if opt.flag & MM_F_SPLICE:
-        raise NotImplementedError("splice alignment")
+        return native.exts(qseq, tseq, mat, opt.q, opt.e, opt.q2, opt.noncan,
+                           zdrop, opt.junc_bonus, flag, junc=None)
     if opt.q == opt.q2 and opt.e == opt.e2:
         return native.extz(qseq, tseq, mat, opt.q, opt.e, w, zdrop, end_bonus, flag)
     return native.extd(
@@ -559,6 +563,51 @@ def max_stretch(r: Reg, ax, ay):
     return max_i, max_len
 
 
+def seed_ext_score(opt, mi, mat, qlen, qseq0, axv, ayv):
+    """Local-SW score of a single seed's neighbourhood (reference
+    mm_seed_ext_score, align.c:523-543)."""
+    q_span = int(ayv >> U64(32) & U64(0xFF))
+    rid = int(axv << U64(1) >> U64(33))
+    re = _i32(axv) + 1
+    rs = re - q_span
+    qe = _i32(ayv) + 1
+    qs = qe - q_span
+    ext = opt.anchor_ext_len
+    rs = max(rs - ext, 0)
+    qs = max(qs - ext, 0)
+    re = min(re + ext, mi.seqs[rid].length)
+    qe = min(qe + ext, qlen)
+    tseq = mi.getseq(rid, rs, re)
+    qseq = qseq0[int(axv >> U64(63))][qs:qe]
+    sc, _, _ = native.sw_score(qseq, tseq, mat, opt.q, opt.e)
+    return sc
+
+
+def fix_bad_ends_splice(opt, mi, r: Reg, mat, qlen, qseq0, ax, ay):
+    """Trim weak boundary exon seeds (reference mm_fix_bad_ends_splice,
+    align.c:545-563)."""
+    import math
+
+    as1, cnt1 = r.as_, r.cnt
+    if r.cnt < 3:
+        return as1, cnt1
+    log_gap = math.log(_i32(ax[r.as_ + 1]) - _i32(ax[r.as_]))
+    if int(ay[r.as_] >> U64(32) & U64(0xFF)) < log_gap + opt.anchor_ext_shift:
+        score = seed_ext_score(opt, mi, mat, qlen, qseq0, ax[r.as_], ay[r.as_])
+        if score / mat[0] < log_gap + opt.anchor_ext_shift:
+            as1 += 1
+            cnt1 -= 1
+    log_gap = math.log(
+        _i32(ax[r.as_ + r.cnt - 1]) - _i32(ax[r.as_ + r.cnt - 2]))
+    if int(ay[r.as_ + r.cnt - 1] >> U64(32) & U64(0xFF)) < (
+            log_gap + opt.anchor_ext_shift):
+        score = seed_ext_score(opt, mi, mat, qlen, qseq0,
+                               ax[r.as_ + r.cnt - 1], ay[r.as_ + r.cnt - 1])
+        if score / mat[0] < log_gap + opt.anchor_ext_shift:
+            cnt1 -= 1
+    return as1, cnt1
+
+
 def adjust_minier(mi, qseq0, axv, ayv):
     """Anchor end -> base coordinate (reference mm_adjust_minier,
     align.c:350-365)."""
@@ -618,6 +667,7 @@ def align1_gen(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
     objects, so a batch scheduler can run many chains' DP on the TPU at
     once.  Returns (r2, dropped) where r2 is a split-off region or None."""
     is_sr = bool(opt.flag & MM_F_SR)
+    is_splice = bool(opt.flag & MM_F_SPLICE)
     rid = int(ax[r.as_] << U64(1) >> U64(33))
     rev = int(ax[r.as_] >> U64(63))
     if r.cnt == 0:
@@ -634,7 +684,12 @@ def align1_gen(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
         qe = _i32(ay[as1 + cnt1 - 1]) + 1
     else:
         if not (opt.flag & MM_F_NO_END_FLT):
-            as1, cnt1 = fix_bad_ends(r, ax, ay, opt.bw, opt.min_chain_score * 2)
+            if is_splice:
+                as1, cnt1 = fix_bad_ends_splice(opt, mi, r, mat, qlen,
+                                                qseq0, ax, ay)
+            else:
+                as1, cnt1 = fix_bad_ends(r, ax, ay, opt.bw,
+                                         opt.min_chain_score * 2)
         else:
             as1, cnt1 = r.as_, r.cnt
         filter_bad_seeds(as1, cnt1, ax, ay, 10, 40, opt.max_gap >> 1, 10)
@@ -643,7 +698,17 @@ def align1_gen(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
         re, qe = adjust_minier(mi, qseq0, ax[as1 + cnt1 - 1], ay[as1 + cnt1 - 1])
     assert cnt1 > 0
 
-    extra_flag = 0  # splice flags handled by the splice path (later round)
+    extra_flag = 0
+    if is_splice:  # (reference align.c:602-605)
+        from ..options import (MM_F_SPLICE_FLANK, MM_F_SPLICE_FOR,
+                               MM_F_SPLICE_REV)
+
+        if splice_flag & MM_F_SPLICE_FOR:
+            extra_flag |= WM_EZ_SPLICE_REV if rev else WM_EZ_SPLICE_FOR
+        if splice_flag & MM_F_SPLICE_REV:
+            extra_flag |= WM_EZ_SPLICE_FOR if rev else WM_EZ_SPLICE_REV
+        if opt.flag & MM_F_SPLICE_FLANK:
+            extra_flag |= WM_EZ_SPLICE_FLANK
 
     # DP region bounds (reference align.c:608-684)
     tlen_rid = mi.seqs[rid].length
@@ -962,13 +1027,42 @@ def align_skeleton_gen(opt, mi, qlen, qstr: bytes, regs: list[Reg], ax, ay,
         rev[m] = 3 - rev[m]
         qseq0 = [fwd, rev]
 
+    from ..options import MM_F_SPLICE_FOR, MM_F_SPLICE_REV
+
     n_a, ax, ay = squeeze_a(regs, ax, ay)
     i = 0
     while i < len(regs):
-        if opt.flag & MM_F_SPLICE:
-            raise NotImplementedError("splice alignment")
-        r2, _ = yield from align1_gen(opt, mi, qlen, qseq0, regs[i], n_a,
-                                      ax, ay, opt.flag)
+        if (opt.flag & MM_F_SPLICE) and (opt.flag & MM_F_SPLICE_FOR) and (
+                opt.flag & MM_F_SPLICE_REV):
+            # two rounds, one per transcript strand (reference
+            # align.c:884-900)
+            import copy
+
+            cand = [copy.copy(regs[i]), copy.copy(regs[i])]
+            r2s = [None, None]
+            r2s[0], _ = yield from align1_gen(opt, mi, qlen, qseq0, cand[0],
+                                              n_a, ax, ay, MM_F_SPLICE_FOR)
+            r2s[1], _ = yield from align1_gen(opt, mi, qlen, qseq0, cand[1],
+                                              n_a, ax, ay, MM_F_SPLICE_REV)
+            sc0 = cand[0].p.dp_score if cand[0].p else -(1 << 30)
+            sc1 = cand[1].p.dp_score if cand[1].p else -(1 << 30)
+            if sc0 > sc1:
+                which, trans_strand = 0, 1
+            elif sc0 < sc1:
+                which, trans_strand = 1, 2
+            else:
+                trans_strand = 3
+                which = (qlen + sc0) & 1
+            regs[i] = cand[which]
+            r2 = r2s[which]
+            if regs[i].p is not None:
+                regs[i].p.trans_strand = trans_strand
+        else:
+            r2, _ = yield from align1_gen(opt, mi, qlen, qseq0, regs[i], n_a,
+                                          ax, ay, opt.flag)
+            if (opt.flag & MM_F_SPLICE) and regs[i].p is not None:
+                regs[i].p.trans_strand = \
+                    1 if opt.flag & MM_F_SPLICE_FOR else 2
         if r2 is not None and r2.cnt > 0:
             regs.insert(i + 1, r2)
         if i > 0 and regs[i].split_inv:

@@ -126,6 +126,7 @@ def _pipeline_once_gen(mi, opt, qlen, seq, qname, hash_, run_est_err=True,
     vanilla path and each MCAS substring trial, reference map.c:343-470).
     Yields extension-DP jobs (see align.align1_gen)."""
     is_sr = bool(opt.flag & MM_F_SR)
+    is_splice = bool(opt.flag & MM_F_SPLICE)
     mvx, mvy = collect_minimizers(opt, mi, [qlen], [seq])
     sh = collect_seed_hits(opt, opt.mid_occ, mi, qname, mvx, mvy, qlen)
     max_gap_qry, max_gap_ref, min_gap_ref = _chain_gaps(opt, is_sr, qlen)
@@ -134,7 +135,7 @@ def _pipeline_once_gen(mi, opt, qlen, seq, qname, hash_, run_est_err=True,
         max_dist_x=max_gap_ref, min_dist_x=min_gap_ref, max_dist_y=max_gap_qry,
         bw=opt.bw, max_skip=opt.max_chain_skip, max_iter=opt.max_chain_iter,
         min_cnt=opt.min_cnt, min_sc=opt.min_chain_score,
-        gap_scale=opt.chain_gap_scale, is_cdna=0, n_segs=1,
+        gap_scale=opt.chain_gap_scale, is_cdna=int(is_splice), n_segs=1,
     )
     # (rechain with a higher occurrence cutoff, reference map.c:391-413, only
     # fires when opt.max_occ > opt.mid_occ which no preset sets)

@@ -100,6 +100,13 @@ def lib() -> ctypes.CDLL:
             ctypes.POINTER(_ExtResult),
         ]
         L.wm_extd.restype = None
+        L.wm_exts.argtypes = [
+            ctypes.c_int, u8p, ctypes.c_int, u8p, ctypes.c_int, i8p,
+            ctypes.c_int8, ctypes.c_int8, ctypes.c_int8, ctypes.c_int8,
+            ctypes.c_int, ctypes.c_int8, ctypes.c_int, ctypes.c_void_p,
+            ctypes.POINTER(_ExtResult),
+        ]
+        L.wm_exts.restype = None
         L.wm_sw_i16.argtypes = [
             ctypes.c_int, u8p, ctypes.c_int, u8p, ctypes.c_int, i8p,
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
@@ -211,6 +218,26 @@ def extd(qseq, tseq, mat, q, e, q2, e2, w, zdrop, end_bonus, flag) -> ExtResult:
     mat = np.ascontiguousarray(mat, dtype=np.int8)
     L.wm_extd(len(qseq), qseq, len(tseq), tseq, 5, mat, q, e, q2, e2, w,
               zdrop, end_bonus, flag, ctypes.byref(r))
+    out = ExtResult(r)
+    if r.n_cigar:
+        L.wm_free(r.cigar)
+    return out
+
+
+def exts(qseq, tseq, mat, q, e, q2, noncan, zdrop, junc_bonus, flag,
+         junc=None) -> ExtResult:
+    """Spliced extension (reference ksw_exts2_sse, src/ksw2_exts2_sse.c)."""
+    L = lib()
+    r = _ExtResult()
+    qseq = np.ascontiguousarray(qseq, dtype=np.uint8)
+    tseq = np.ascontiguousarray(tseq, dtype=np.uint8)
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    jp = None
+    if junc is not None:
+        junc = np.ascontiguousarray(junc, dtype=np.uint8)
+        jp = junc.ctypes.data_as(ctypes.c_void_p)
+    L.wm_exts(len(qseq), qseq, len(tseq), tseq, 5, mat, q, e, q2, noncan,
+              zdrop, junc_bonus, flag, jp, ctypes.byref(r))
     out = ExtResult(r)
     if r.n_cigar:
         L.wm_free(r.cigar)

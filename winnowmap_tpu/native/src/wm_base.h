@@ -23,6 +23,9 @@
 #define WM_EZ_APPROX_DROP 0x10
 #define WM_EZ_EXTZ_ONLY 0x40
 #define WM_EZ_REV_CIGAR 0x80
+#define WM_EZ_SPLICE_FOR 0x100
+#define WM_EZ_SPLICE_REV 0x200
+#define WM_EZ_SPLICE_FLANK 0x400
 
 // Result block for the extension kernels (layout shared with ctypes).
 typedef struct {

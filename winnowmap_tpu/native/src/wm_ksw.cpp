@@ -65,8 +65,11 @@ inline int apply_zdrop(wm_ext_result* ez, int32_t H, int r, int t, int zdrop,
 // ksw2.h:119-151 ksw_backtrack with is_rot=1, min_intron_len=0).
 // Direction byte layout: bits 0-2 = state winning H; bit3 = E-continue,
 // bit4 = F-continue, bit5 = E2-continue, bit6 = F2-continue.
-void traceback(const uint8_t* p, const int* off, const int* off_end,
-               size_t n_col, int i0, int j0, int rev_cigar, CigarBuf* cb) {
+void traceback_intron(const uint8_t* p, const int* off, const int* off_end,
+                      size_t n_col, int i0, int j0, int rev_cigar,
+                      int min_intron_len, CigarBuf* cb) {
+  // reference ksw_backtrack (src/ksw2.h:119-151): with min_intron_len > 0
+  // (the spliced kernel) the long-gap state emits 'N' ops
   int i = i0, j = j0, state = 0;
   while (i >= 0 && j >= 0) {
     int r = i + j;
@@ -82,14 +85,22 @@ void traceback(const uint8_t* p, const int* off, const int* off_end,
     if (force_state >= 0) state = force_state;
     if (state == 0)
       cb->push(0, 1), --i, --j;  // match column
-    else if (state == 1 || state == 3)
+    else if (state == 1 || (state == 3 && min_intron_len <= 0))
       cb->push(2, 1), --i;  // deletion (short- or long-gap state)
+    else if (state == 3 && min_intron_len > 0)
+      cb->push(3, 1), --i;  // intron
     else
       cb->push(1, 1), --j;  // insertion
   }
-  if (i >= 0) cb->push(2, i + 1);
+  if (i >= 0)
+    cb->push(min_intron_len > 0 && i >= min_intron_len ? 3 : 2, i + 1);
   if (j >= 0) cb->push(1, j + 1);
   if (!rev_cigar) std::reverse(cb->ops.begin(), cb->ops.end());
+}
+
+void traceback(const uint8_t* p, const int* off, const int* off_end,
+               size_t n_col, int i0, int j0, int rev_cigar, CigarBuf* cb) {
+  traceback_intron(p, off, off_end, n_col, i0, j0, rev_cigar, 0, cb);
 }
 
 void finish_cigar(CigarBuf& cb, wm_ext_result* ez) {
@@ -584,6 +595,296 @@ void wm_extd(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
       traceback(p.data(), off.data(), off_end.data(), n_col, ez->max_t,
                 ez->max_q, rev_cigar, &cb);
     }
+    finish_cigar(cb, ez);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Spliced extension (reference ksw_exts2_sse, src/ksw2_exts2_sse.c): the
+// dual-gap wavefront with the long-gap state re-purposed as an intron --
+// no band, donor/acceptor site scores added on long-gap open/close, and
+// the long-gap state floored at the donor score instead of zero.  Signed
+// int8 state like wm_extd.  `junc` is an optional per-target-base splice
+// junction annotation (reference mm_idx_bed_junc); null means none.
+// ---------------------------------------------------------------------------
+void wm_exts(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
+             int m, const int8_t* mat, int8_t q, int8_t e, int8_t q2,
+             int8_t noncan, int zdrop, int8_t junc_bonus, int flag,
+             const uint8_t* junc, wm_ext_result* ez) {
+  reset_result(ez);
+  if (m <= 1 || qlen <= 0 || tlen <= 0 || q2 <= q + e) return;
+
+  const int qe = q + e;
+  const int with_cigar = !(flag & WM_EZ_SCORE_ONLY);
+  const int approx_max = !!(flag & WM_EZ_APPROX_MAX);
+  const int right_gaps = !!(flag & WM_EZ_RIGHT);
+  const int rev_cigar = !!(flag & WM_EZ_REV_CIGAR);
+  const int8_t sc_mch = mat[0], sc_mis = mat[1];
+  const int8_t sc_N = mat[m * m - 1] == 0 ? (int8_t)(-e) : mat[m * m - 1];
+
+  const int tlen16 = (tlen + 15) / 16 * 16;
+  int n_col = qlen < tlen ? qlen : tlen;
+  n_col = ((n_col + 15) / 16 + 1) * 16;
+
+  int min_sc = mat[1];
+  for (int t = 1; t < m * m; ++t) min_sc = min_sc < mat[t] ? min_sc : mat[t];
+  if (-min_sc > 2 * (q + e)) return;
+
+  int long_thres = (q2 - q) / e - 1;
+  if (q2 > q + e + long_thres * e) ++long_thres;
+  const int long_diff = long_thres * e - (q2 - q);
+
+  std::vector<int8_t> u(tlen16 + 32), v(tlen16 + 32), x(tlen16 + 32),
+      y(tlen16 + 32), x2(tlen16 + 32), s(tlen16 + 32, 0),
+      donor(tlen16 + 32, 0), acceptor(tlen16 + 32, 0);
+  std::fill(u.begin(), u.end(), (int8_t)(-q - e));
+  std::fill(v.begin(), v.end(), (int8_t)(-q - e));
+  std::fill(x.begin(), x.end(), (int8_t)(-q - e));
+  std::fill(y.begin(), y.end(), (int8_t)(-q - e));
+  std::fill(x2.begin(), x2.end(), (int8_t)(-q2));
+  std::vector<uint8_t> qr(((qlen + 15) / 16) * 16 + 16, 0);
+  for (int t = 0; t < qlen; ++t) qr[t] = query[qlen - 1 - t];
+
+  // donor/acceptor site scores (reference ksw2_exts2_sse.c:114-166);
+  // all-zero when no splice orientation is requested, like the kcalloc'd
+  // arrays in the reference
+  const int spl_for = !!(flag & WM_EZ_SPLICE_FOR);
+  const int spl_rev = !!(flag & WM_EZ_SPLICE_REV);
+  if (spl_for || spl_rev) {
+    int semi_cost = (flag & WM_EZ_SPLICE_FLANK) ? -noncan / 2 : 0;
+    std::fill(donor.begin(), donor.end(), (int8_t)(-noncan));
+    std::fill(acceptor.begin(), acceptor.end(), (int8_t)(-noncan));
+    if (!rev_cigar) {
+      for (int t = 0; t < tlen - 4; ++t) {
+        int can_type = 0;
+        if (spl_for && target[t + 1] == 2 && target[t + 2] == 3) can_type = 1;
+        if (spl_rev && target[t + 1] == 1 && target[t + 2] == 3) can_type = 1;
+        if (can_type && (target[t + 3] == 0 || target[t + 3] == 2))
+          can_type = 2;
+        if (can_type) donor[t] = can_type == 2 ? 0 : (int8_t)semi_cost;
+      }
+      if (junc)
+        for (int t = 0; t < tlen - 1; ++t)
+          if ((spl_for && (junc[t + 1] & 1)) || (spl_rev && (junc[t + 1] & 8)))
+            donor[t] = (int8_t)(donor[t] + junc_bonus);
+      for (int t = 2; t < tlen; ++t) {
+        int can_type = 0;
+        if (spl_for && target[t - 1] == 0 && target[t] == 2) can_type = 1;
+        if (spl_rev && target[t - 1] == 0 && target[t] == 1) can_type = 1;
+        if (can_type && (target[t - 2] == 1 || target[t - 2] == 3))
+          can_type = 2;
+        if (can_type) acceptor[t] = can_type == 2 ? 0 : (int8_t)semi_cost;
+      }
+      if (junc)
+        for (int t = 0; t < tlen; ++t)
+          if ((spl_for && (junc[t] & 2)) || (spl_rev && (junc[t] & 4)))
+            acceptor[t] = (int8_t)(acceptor[t] + junc_bonus);
+    } else {
+      for (int t = 0; t < tlen - 4; ++t) {
+        int can_type = 0;
+        if (spl_for && target[t + 1] == 2 && target[t + 2] == 0) can_type = 1;
+        if (spl_rev && target[t + 1] == 1 && target[t + 2] == 0) can_type = 1;
+        if (can_type && (target[t + 3] == 1 || target[t + 3] == 3))
+          can_type = 2;
+        if (can_type) donor[t] = can_type == 2 ? 0 : (int8_t)semi_cost;
+      }
+      if (junc)
+        for (int t = 0; t < tlen - 1; ++t)
+          if ((spl_for && (junc[t + 1] & 2)) || (spl_rev && (junc[t + 1] & 4)))
+            donor[t] = (int8_t)(donor[t] + junc_bonus);
+      for (int t = 2; t < tlen; ++t) {
+        int can_type = 0;
+        if (spl_for && target[t - 1] == 3 && target[t] == 2) can_type = 1;
+        if (spl_rev && target[t - 1] == 3 && target[t] == 1) can_type = 1;
+        if (can_type && (target[t - 2] == 0 || target[t - 2] == 2))
+          can_type = 2;
+        if (can_type) acceptor[t] = can_type == 2 ? 0 : (int8_t)semi_cost;
+      }
+      if (junc)
+        for (int t = 0; t < tlen; ++t)
+          if ((spl_for && (junc[t] & 1)) || (spl_rev && (junc[t] & 8)))
+            acceptor[t] = (int8_t)(acceptor[t] + junc_bonus);
+    }
+  }
+
+  std::vector<int32_t> H;
+  int32_t H0 = 0, last_H0_t = 0;
+  if (!approx_max) H.assign(tlen16, WM_NEG_INF);
+
+  std::vector<uint8_t> p;
+  std::vector<int> off, off_end;
+  if (with_cigar) {
+    p.assign((size_t)(qlen + tlen - 1) * n_col, 0);
+    off.assign(qlen + tlen - 1, 0);
+    off_end.assign(qlen + tlen - 1, 0);
+  }
+
+  int last_st = -1, last_en = -1;
+  for (int r = 0; r < qlen + tlen - 1; ++r) {
+    int st = 0, en = tlen - 1;
+    if (st < r - qlen + 1) st = r - qlen + 1;
+    if (en > r) en = r;
+    const int st0 = st, en0 = en;
+    st = st / 16 * 16;
+    en = (en + 16) / 16 * 16 - 1;
+
+    int8_t x1, x21, v1;
+    if (st > 0) {
+      if (st - 1 >= last_st && st - 1 <= last_en)
+        x1 = x[st - 1], x21 = x2[st - 1], v1 = v[st - 1];
+      else
+        x1 = (int8_t)(-q - e), x21 = (int8_t)(-q2), v1 = (int8_t)(-q - e);
+    } else {
+      x1 = (int8_t)(-q - e), x21 = (int8_t)(-q2);
+      v1 = r == 0            ? (int8_t)(-q - e)
+           : r < long_thres  ? (int8_t)(-e)
+           : r == long_thres ? (int8_t)long_diff
+                             : (int8_t)0;
+    }
+    if (en >= r) {
+      y[r] = (int8_t)(-q - e);
+      u[r] = r == 0            ? (int8_t)(-q - e)
+             : r < long_thres  ? (int8_t)(-e)
+             : r == long_thres ? (int8_t)long_diff
+                               : (int8_t)0;
+    }
+
+    if (!(flag & WM_EZ_GENERIC_SC)) {
+      for (int t = st0; t <= en0; t += 16)
+        for (int l = 0; l < 16; ++l) {
+          int tt = t + l;
+          uint8_t a = tt < tlen ? target[tt] : 0;
+          int qidx = qlen - 1 - r + tt;
+          uint8_t b = (qidx >= 0 && qidx < (int)qr.size()) ? qr[qidx] : 0;
+          int8_t sc = (a == m - 1 || b == m - 1) ? sc_N
+                      : (a == b)                 ? sc_mch
+                                                 : sc_mis;
+          if (tt < (int)s.size()) s[tt] = sc;
+        }
+    } else {
+      for (int t = st0; t <= en0; ++t) {
+        int qidx = qlen - 1 - r + t;
+        uint8_t b = (qidx >= 0 && qidx < (int)qr.size()) ? qr[qidx] : 0;
+        s[t] = mat[target[t] * m + b];
+      }
+    }
+
+    int8_t carry_x = x1, carry_x2 = x21, carry_v = v1;
+    uint8_t* prow = with_cigar ? p.data() + (size_t)r * n_col : nullptr;
+    if (with_cigar) off[r] = st, off_end[r] = en;
+    for (int t = st; t <= en; ++t) {
+      const int8_t xt1 = carry_x, x2t1 = carry_x2, vt1 = carry_v;
+      const int8_t ut = u[t];
+      carry_x = x[t];
+      carry_x2 = x2[t];
+      carry_v = v[t];
+      int8_t z = s[t];
+      const int8_t a = (int8_t)(xt1 + vt1);
+      const int8_t b = (int8_t)(y[t] + ut);
+      const int8_t a2 = (int8_t)(x2t1 + vt1);
+      const int8_t a2a = (int8_t)(a2 + acceptor[t]);
+      uint8_t d;
+      if (!right_gaps) {
+        d = a > z ? 1 : 0;
+        if (a > z) z = a;
+        if (b > z) d = 2, z = b;
+        if (a2a > z) d = 3, z = a2a;
+      } else {
+        d = z > a ? 0 : 1;
+        if (a > z) z = a;
+        if (!(z > b)) d = 2;
+        if (b > z) z = b;
+        if (!(z > a2a)) d = 3;
+        if (a2a > z) z = a2a;
+      }
+      u[t] = (int8_t)(z - vt1);
+      v[t] = (int8_t)(z - ut);
+      const int8_t zq = (int8_t)(z - q);
+      const int8_t an = (int8_t)(a - zq), bn = (int8_t)(b - zq);
+      const int8_t a2n = (int8_t)(a2 - (int8_t)(z - q2));
+      bool ax, bx, a2x;
+      if (!right_gaps) {
+        ax = an > 0, bx = bn > 0, a2x = a2n > donor[t];
+      } else {
+        ax = !(0 > an), bx = !(0 > bn), a2x = !(donor[t] > a2n);
+      }
+      x[t] = (int8_t)((ax ? an : 0) - qe);
+      y[t] = (int8_t)((bx ? bn : 0) - qe);
+      x2[t] = (int8_t)((a2x ? a2n : donor[t]) - q2);
+      if (ax) d |= 0x08;
+      if (bx) d |= 0x10;
+      if (a2x) d |= 0x20;
+      if (with_cigar) prow[t - st] = d;
+    }
+
+    if (!approx_max) {
+      int32_t max_H, max_t;
+      if (r > 0) {
+        max_H = H[en0] = en0 > 0 ? H[en0 - 1] + (int32_t)u[en0]
+                                 : H[en0] + (int32_t)v[en0];
+        max_t = en0;
+        int en1 = st0 + (en0 - st0) / 4 * 4;
+        int32_t HH[4], tt[4];
+        for (int l = 0; l < 4; ++l) HH[l] = max_H, tt[l] = max_t;
+        int t = st0;
+        for (; t < en1; t += 4)
+          for (int l = 0; l < 4; ++l) {
+            H[t + l] += (int32_t)v[t + l];
+            if (H[t + l] > HH[l]) HH[l] = H[t + l], tt[l] = t + l;
+          }
+        for (int l = 0; l < 4; ++l)
+          if (HH[l] > max_H) max_H = HH[l], max_t = tt[l];
+        for (; t < en0; ++t) {
+          H[t] += (int32_t)v[t];
+          if (H[t] > max_H) max_H = H[t], max_t = t;
+        }
+      } else {
+        H[0] = (int32_t)v[0] - qe;
+        max_H = H[0];
+        max_t = 0;
+      }
+      if (en0 == tlen - 1 && H[en0] > ez->mte)
+        ez->mte = H[en0], ez->mte_q = r - en;
+      if (r - st0 == qlen - 1 && H[st0] > ez->mqe)
+        ez->mqe = H[st0], ez->mqe_t = st0;
+      if (apply_zdrop(ez, max_H, r, max_t, zdrop, 0)) break;
+      if (r == qlen + tlen - 2 && en0 == tlen - 1) ez->score = H[tlen - 1];
+    } else {
+      if (r > 0) {
+        if (last_H0_t >= st0 && last_H0_t <= en0 && last_H0_t + 1 >= st0 &&
+            last_H0_t + 1 <= en0) {
+          int32_t d0 = (int32_t)v[last_H0_t];
+          int32_t d1 = (int32_t)u[last_H0_t + 1];
+          if (d0 > d1)
+            H0 += d0;
+          else
+            H0 += d1, ++last_H0_t;
+        } else if (last_H0_t >= st0 && last_H0_t <= en0) {
+          H0 += (int32_t)v[last_H0_t];
+        } else {
+          ++last_H0_t;
+          H0 += (int32_t)u[last_H0_t];
+        }
+      } else {
+        H0 = (int32_t)v[0] - qe;
+        last_H0_t = 0;
+      }
+      if ((flag & WM_EZ_APPROX_DROP) &&
+          apply_zdrop(ez, H0, r, last_H0_t, zdrop, 0))
+        break;
+      if (r == qlen + tlen - 2 && en0 == tlen - 1) ez->score = H0;
+    }
+    last_st = st, last_en = en;
+  }
+
+  if (with_cigar) {
+    CigarBuf cb;
+    if (!ez->zdropped && !(flag & WM_EZ_EXTZ_ONLY))
+      traceback_intron(p.data(), off.data(), off_end.data(), n_col, tlen - 1,
+                       qlen - 1, rev_cigar, long_thres, &cb);
+    else if (ez->max_t >= 0 && ez->max_q >= 0)
+      traceback_intron(p.data(), off.data(), off_end.data(), n_col, ez->max_t,
+                       ez->max_q, rev_cigar, long_thres, &cb);
     finish_cigar(cb, ez);
   }
 }
