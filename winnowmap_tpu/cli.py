@@ -86,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
     w_file = None
     idx_dump = None
     tpu_batch = False
+    junc_bed = None
     n_threads = 3
     i = 0
 
@@ -112,6 +113,10 @@ def main(argv: list[str] | None = None) -> int:
             mo.sdust_thres = int(take())
         elif a == "-I":
             io.batch_size = _num(take())
+        elif a == "--junc-bed":
+            junc_bed = take()
+        elif a == "--junc-bonus":
+            mo.junc_bonus = int(take())
         elif a == "--tpu-batch":
             tpu_batch = True
         elif a == "-k":
@@ -122,6 +127,10 @@ def main(argv: list[str] | None = None) -> int:
             io.flag |= 1
         elif a == "-I":
             io.batch_size = _num(take())
+        elif a == "--junc-bed":
+            junc_bed = take()
+        elif a == "--junc-bonus":
+            mo.junc_bonus = int(take())
         elif a == "-t":
             n_threads = int(take())
         elif a == "-f":
@@ -271,6 +280,10 @@ def main(argv: list[str] | None = None) -> int:
     phase_log("index", mi.stat_line())
     update_mid_occ(mo, mi)
 
+    if junc_bed:
+        from .index.build import read_bed
+
+        read_bed(mi, junc_bed, read_junc=True)
     if idx_dump:
         dump_index(mi, idx_dump)
         phase_log("index", f"index dumped to {idx_dump}")

@@ -44,6 +44,9 @@ class MinimizerIndex:
     # exact down-weighted k-mer set (sorted canonical codes)
     wset: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint64))
     index_part: int = 0
+    # per-rid splice-junction intervals (reference mm_idx_intv_t, loaded
+    # from BED via read_bed): dict rid -> (st, en, strand) int64 arrays
+    intervals: dict = field(default_factory=dict)
 
     @property
     def n_seq(self) -> int:
@@ -106,6 +109,65 @@ class MinimizerIndex:
             f"average occurrences: {cnt.mean():.3f}; "
             f"average spacing: {tot_len / cnt.sum():.3f}"
         )
+
+
+def read_bed(mi: MinimizerIndex, path: str, read_junc: bool = True) -> None:
+    """Load splice junctions from BED6/BED12 (reference mm_idx_read_bed,
+    src/index.c:690-777): BED12 blocks become the *introns* between blocks;
+    simple BED lines are taken as intervals directly."""
+    name2rid = mi.name_to_rid()
+    per = {}
+    with open(path) as f:
+        for line in f:
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) < 3 or cols[0] not in name2rid:
+                continue
+            rid = name2rid[cols[0]]
+            st, en = int(cols[1]), int(cols[2])
+            if st < 0 or st >= en:
+                continue
+            strand = 0
+            if len(cols) >= 6:
+                strand = 1 if cols[5] == "+" else -1 if cols[5] == "-" else 0
+            lst = per.setdefault(rid, [])
+            if read_junc and len(cols) >= 12 and cols[9].isdigit():
+                n_blk = int(cols[9])
+                sizes = [int(x) for x in cols[10].rstrip(",").split(",")]
+                starts = [int(x) for x in cols[11].rstrip(",").split(",")]
+                en_b = st + starts[0] + sizes[0]
+                for i in range(1, n_blk):
+                    s_, e_ = en_b, st + starts[i]
+                    en_b = st + starts[i] + sizes[i]
+                    if e_ > s_:
+                        lst.append((s_, e_, strand))
+            else:
+                lst.append((st, en, strand))
+    for rid, lst in per.items():
+        lst.sort(key=lambda t: t[0])
+        a = np.array(lst, np.int64).reshape(-1, 3)
+        mi.intervals[rid] = (a[:, 0], a[:, 1], a[:, 2])
+
+
+def bed_junc(mi: MinimizerIndex, rid: int, st: int, en: int):
+    """Per-base junction flags over [st, en) (reference mm_idx_bed_junc,
+    src/index.c:780-803): donor/acceptor bits by annotated strand."""
+    out = np.zeros(en - st, np.uint8)
+    iv = mi.intervals.get(rid)
+    if iv is None:
+        return out
+    ist, ien, istr = iv
+    m = (ist >= st) & (ien <= en) & (istr != 0)
+    for s_, e_, sd in zip(ist[m].tolist(), ien[m].tolist(),
+                          istr[m].tolist()):
+        if sd > 0:
+            out[s_ - st] |= 1
+            out[e_ - 1 - st] |= 2
+        else:
+            out[s_ - st] |= 8
+            out[e_ - 1 - st] |= 4
+
+
+    return out
 
 
 def load_weight_set(path: str | None, k: int) -> np.ndarray:

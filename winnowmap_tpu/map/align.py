@@ -86,7 +86,7 @@ def _seq_of(x):
     return x.materialize() if isinstance(x, JobSeq) else x
 
 
-def align_pair(opt, qseq, tseq, mat, w, end_bonus, zdrop, flag):
+def align_pair(opt, qseq, tseq, mat, w, end_bonus, zdrop, flag, junc=None):
     """Kernel dispatch (reference mm_align_pair, align.c:313-339)."""
     qseq = _seq_of(qseq)
     tseq = _seq_of(tseq)
@@ -102,7 +102,7 @@ def align_pair(opt, qseq, tseq, mat, w, end_bonus, zdrop, flag):
         return r
     if opt.flag & MM_F_SPLICE:
         return native.exts(qseq, tseq, mat, opt.q, opt.e, opt.q2, opt.noncan,
-                           zdrop, opt.junc_bonus, flag, junc=None)
+                           zdrop, opt.junc_bonus, flag, junc=junc)
     if opt.q == opt.q2 and opt.e == opt.e2:
         return native.extz(qseq, tseq, mat, opt.q, opt.e, w, zdrop, end_bonus, flag)
     return native.extd(
@@ -794,14 +794,26 @@ def align1_gen(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
     assert re0 > rs0
     dropped = False
     qseq_dir = qseq0[rev]
+    junc_all = None
+    if is_splice and mi.intervals:
+        from ..index.build import bed_junc
+
+        junc_all = bed_junc(mi, rid, rs0, re0)
+
+    def _junc(a, b):  # junction flags over reference window [a, b)
+        if junc_all is None:
+            return None
+        return junc_all[a - rs0:b - rs0]
 
     if qs > 0 and rs > 0:  # left extension
         qseq = JobSeq(qseq_dir[qs0:qs], rev=True)
         tseq = JobSeq(mi.getseq(rid, rs0, rs), rev=True)
+        jl = _junc(rs0, rs)
         ez = yield (
             opt, qseq, tseq, mat, bw, opt.end_bonus,
             opt.zdrop_inv if r.split_inv else opt.zdrop,
             extra_flag | WM_EZ_EXTZ_ONLY | WM_EZ_RIGHT | WM_EZ_REV_CIGAR,
+            jl[::-1].copy() if jl is not None else None,
         )
         if len(ez.cigar) > 0:
             _append_cigar(r, ez.cigar)
@@ -846,7 +858,8 @@ def align1_gen(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
     if segs and not is_sr:
         ezs = yield [
             (opt, JobSeq(qseq_dir[sqs:sqe]), JobSeq(mi.getseq(rid, srs, sre)),
-             mat, bw1, -1, opt.zdrop, extra_flag | WM_EZ_APPROX_MAX)
+             mat, bw1, -1, opt.zdrop, extra_flag | WM_EZ_APPROX_MAX,
+             _junc(srs, sre))
             for (_, sqs, sqe, srs, sre, bw1) in segs
         ]
     else:
@@ -881,7 +894,7 @@ def align1_gen(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
                 ez = yield (
                     opt, JobSeq(qseq), JobSeq(tseq), mat, bw1, -1,
                     opt.zdrop_inv if zdrop_code == 2 else opt.zdrop,
-                    extra_flag,
+                    extra_flag, _junc(rs, re),
                 )
         if len(ez.cigar) > 0:
             _append_cigar(r, ez.cigar)
@@ -920,7 +933,7 @@ def align1_gen(opt, mi, qlen, qseq0, r: Reg, n_a, ax, ay, splice_flag):
         tseq = mi.getseq(rid, re, re0)
         ez = yield (
             opt, JobSeq(qseq), JobSeq(tseq), mat, bw, opt.end_bonus,
-            opt.zdrop, extra_flag | WM_EZ_EXTZ_ONLY,
+            opt.zdrop, extra_flag | WM_EZ_EXTZ_ONLY, _junc(re, re0),
         )
         if len(ez.cigar) > 0:
             _append_cigar(r, ez.cigar)

@@ -75,7 +75,7 @@ class _Task:
 
 
 def _bucket_key(job):
-    opt, qseq, tseq, mat, w, end_bonus, zdrop, flag = job
+    opt, qseq, tseq, mat, w, end_bonus, zdrop, flag = job[:8]
     from ..extend.pallas_kernel import quantize_len
 
     # w and zdrop are runtime inputs to the kernels; only the quantized
@@ -87,7 +87,7 @@ def _bucket_key(job):
 
 
 def _device_eligible(job):
-    opt, qseq, tseq, mat, w, end_bonus, zdrop, flag = job
+    opt, qseq, tseq, mat, w, end_bonus, zdrop, flag = job[:8]
     if opt.flag & MM_F_SPLICE:
         return False
     if len(qseq) == 0 or len(tseq) == 0:
@@ -108,7 +108,7 @@ MAX_INFLIGHT_BYTES = 6 << 30
 
 def _resolve_job(pools, job):
     """Pool coordinates for a device job, or None if not pool-backed."""
-    opt, qseq, tseq, mat, w, end_bonus, zdrop, flag = job
+    opt, qseq, tseq, mat, w, end_bonus, zdrop, flag = job[:8]
     if not (isinstance(qseq, JobSeq) and isinstance(tseq, JobSeq)):
         return None
     qr = pools.resolve(qseq)
