@@ -3,7 +3,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..options import MM_F_OUT_CG
+from ..options import (MM_F_OUT_CG, MM_F_OUT_CS, MM_F_OUT_CS_LONG,
+                       MM_F_OUT_MD)
 
 CIGAR_CHARS = "MIDNSHP=XB"
 
@@ -55,7 +56,8 @@ def cigar_str(cigar: np.ndarray) -> str:
 
 
 def write_paf(mi, name: str, qlen: int, r, opt_flag: int, rep_len: int,
-              comment: str | None = None, copy_comment: bool = False) -> str:
+              comment: str | None = None, copy_comment: bool = False,
+              rec=None) -> str:
     """One PAF line (reference mm_write_paf3, format.c:308-334)."""
     if r is None:
         line = f"{name}\t{qlen}\t0\t0\t*\t*\t0\t0\t0\t0\t0\t0"
@@ -74,6 +76,17 @@ def write_paf(mi, name: str, qlen: int, r, opt_flag: int, rep_len: int,
         out.append(f"\trl:i:{rep_len}")
     if r.p is not None and (opt_flag & MM_F_OUT_CG):
         out.append("\tcg:Z:" + cigar_str(r.p.cigar))
+    if r.p is not None and rec is not None and (
+            opt_flag & (MM_F_OUT_CS | MM_F_OUT_MD)):
+        # (reference mm_write_paf3 tail, format.c:330-331)
+        from .sam import _aligned_seqs, _cs_tag, _md_tag
+
+        qseq, tseq = _aligned_seqs(mi, rec, r)
+        if opt_flag & MM_F_OUT_MD:
+            out.append("\tMD:Z:" + _md_tag(qseq, tseq, r))
+        else:
+            out.append("\tcs:Z:" + _cs_tag(qseq, tseq, r,
+                                            bool(opt_flag & MM_F_OUT_CS_LONG)))
     if copy_comment and comment:
         out.append("\t" + comment)
     return "".join(out)

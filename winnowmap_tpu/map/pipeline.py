@@ -73,7 +73,7 @@ def _write_read(mi, opt, rec, res, out) -> None:
             else:
                 line = pafmod.write_paf(
                     mi, rec.name, len(rec.seq), r, opt.flag, res.rep_len,
-                    rec.comment, bool(opt.flag & MM_F_COPY_COMMENT),
+                    rec.comment, bool(opt.flag & MM_F_COPY_COMMENT), rec=rec,
                 )
             out.write(line + "\n")
     elif (opt.flag & MM_F_PAF_NO_HIT) or (
