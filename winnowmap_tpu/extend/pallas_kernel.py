@@ -68,8 +68,8 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
     if q2 + e2 + long_thres * e2 > q + e + long_thres * e:
         long_thres += 1
     long_diff = np.int8(long_thres * (e - e2) - (q2 - q) - e2)
-    S_STRIDE = Wb // 4 + 2  # rank stride; rank fits 12 bits for Wb <= 3000
-    assert 4 * S_STRIDE + Wb + 8 < 4096
+    S_STRIDE = Wb // 4 + 2  # rank stride; rank fits 14 bits for Wb <= 6500
+    assert 4 * S_STRIDE + Wb + 8 < 16384, "band too wide for rank packing"
     assert R * max(e, e2) + q + q2 < -H_CLAMP, "score range vs rank packing"
 
     def basefn(r):
@@ -351,13 +351,13 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                     t_abs == en0, 0,
                     jnp.where(in_str, 1 + (p_rel & 3) * S_STRIDE + (p_rel >> 2),
                               jnp.where(in_tail, 1 + 4 * S_STRIDE + (t_abs - en1),
-                                        4095)))
-                valid = jnp.logical_and(rank < 4095, active)
+                                        16383)))
+                valid = jnp.logical_and(rank < 16383, active)
                 Hc = jnp.maximum(H, H_CLAMP)
-                K = jnp.where(valid, Hc * 4096 + (4095 - rank),
+                K = jnp.where(valid, Hc * 16384 + (16383 - rank),
                               jnp.int32(-0x7FFFFFFF))
                 Kmax = jnp.max(K, axis=1, keepdims=True)
-                max_H = jax.lax.shift_right_arithmetic(Kmax, 12)
+                max_H = jax.lax.shift_right_arithmetic(Kmax, 14)
                 max_tv = jnp.sum(jnp.where(K == Kmax, t_abs, 0), axis=1,
                                  keepdims=True)
                 max_H = jnp.where(r == 0, lane_val(H, 0), max_H)
@@ -1240,7 +1240,7 @@ def _build_extz_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, W_MAX,
     IDX = {k: v for v, k in enumerate(
         "mx zdr max_q max_t mqe mqe_t mte mte_q score H0 lH0t done".split())}
     S_STRIDE = Wb // 4 + 2
-    assert 4 * S_STRIDE + Wb + 8 < 4096
+    assert 4 * S_STRIDE + Wb + 8 < 16384, "band too wide for rank packing"
     assert R * e + 2 * q < -H_CLAMP
 
     def kernel(qbuf_ref, sf_ref, qlen_ref, tlen_ref, w_ref, zdrop_ref,
@@ -1463,13 +1463,13 @@ def _build_extz_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, W_MAX,
                               1 + (p_rel & 3) * S_STRIDE + (p_rel >> 2),
                               jnp.where(in_tail,
                                         1 + 4 * S_STRIDE + (t_abs - en1),
-                                        4095)))
-                valid = jnp.logical_and(rank < 4095, active)
+                                        16383)))
+                valid = jnp.logical_and(rank < 16383, active)
                 Hc = jnp.maximum(H, H_CLAMP)
-                K = jnp.where(valid, Hc * 4096 + (4095 - rank),
+                K = jnp.where(valid, Hc * 16384 + (16383 - rank),
                               jnp.int32(-0x7FFFFFFF))
                 Kmax = jnp.max(K, axis=1, keepdims=True)
-                max_H = jax.lax.shift_right_arithmetic(Kmax, 12)
+                max_H = jax.lax.shift_right_arithmetic(Kmax, 14)
                 max_tv = jnp.sum(jnp.where(K == Kmax, t_abs, 0), axis=1,
                                  keepdims=True)
                 max_H = jnp.where(r == 0, lane_val(H, 0), max_H)

@@ -94,6 +94,9 @@ def _device_eligible(job):
         return False
     if len(qseq) > MAX_DEV_LEN or len(tseq) > MAX_DEV_LEN:
         return False
+    # rank packing in the row-max supports bands up to ~6k lanes
+    if min(len(qseq), len(tseq), w + 1) > 6000:
+        return False
     if opt.max_sw_mat > 0 and len(qseq) * len(tseq) > opt.max_sw_mat:
         return False  # align_pair returns the dummy-drop result host-side
     return True
