@@ -183,7 +183,8 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
             t0 = time.time()
             call = DevCallPooled(
                 pools, [u[2] for u in chunk], mat, opt.q, opt.e,
-                opt.q2, opt.e2, end_bonus, flag)
+                opt.q2, opt.e2, end_bonus, flag,
+                TB=32)
             call.start_fetch()
             STATS["dispatch_s"] += time.time() - t0
             STATS["dev_calls"] += 1
