@@ -1170,9 +1170,12 @@ class DevCallPooled:
     def collect(self):
         res = np.asarray(self.res_dev)[:self.B0]
         if self.with_cigar:
-            ops = _unpack_ops(np.asarray(self.ops_dev)[:self.B0],
-                              self.pack_cols * 4)
             fin = np.asarray(self.fin_dev)
+            from .. import native
+            cigars = native.rle_ops_batch(
+                np.asarray(self.ops_dev)[:self.B0], fin[:self.B0, 0],
+                fin[:self.B0, 1],
+                np.full(self.B0, self.rev_cigar, np.uint8))
         results = []
         for i in range(self.B0):
             r = DevExtResult()
@@ -1185,8 +1188,7 @@ class DevCallPooled:
                 if (not r.zdropped and self.extz_only
                         and r.mqe + self.end_bonus > r.max):
                     r.reach_end = True
-                r.cigar = _rle_cigar_packed(ops[i], int(fin[i, 0]),
-                                            int(fin[i, 1]), self.rev_cigar)
+                r.cigar = cigars[i]
             results.append(r)
         return results
 

@@ -150,6 +150,16 @@ def lib() -> ctypes.CDLL:
         L.wm_sdust.argtypes = [u8p, ctypes.c_int64, ctypes.c_int,
                                ctypes.c_int, ctypes.POINTER(pu64)]
         L.wm_sdust.restype = ctypes.c_int64
+        L.wm_rle_ops.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            u8p, np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
+        L.wm_rle_ops.restype = None
 
         L.wm_fastx_open.argtypes = [ctypes.c_char_p]
         L.wm_fastx_open.restype = ctypes.c_void_p
@@ -355,4 +365,28 @@ def sdust(seq, thres: int, win: int = 64) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     res = np.ctypeslib.as_array(out, (n,)).copy()
     L.wm_free(out)
+    return res
+
+
+def rle_ops_batch(packed, i_fin, j_fin, rev_flags):
+    """Batch traceback-op decode: 2-bit-packed walks -> list of BAM CIGARs
+    (C++; replicates the per-alignment _rle_cigar_packed semantics)."""
+    L = lib()
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    n, cols = packed.shape
+    i_fin = np.ascontiguousarray(i_fin, dtype=np.int32)
+    j_fin = np.ascontiguousarray(j_fin, dtype=np.int32)
+    rev_flags = np.ascontiguousarray(rev_flags, dtype=np.uint8)
+    cap = int(cols * 4 + 8) * max(n, 1)
+    out = np.empty(cap, dtype=np.uint32)
+    out_len = np.empty(n, dtype=np.int32)
+    out_off = np.empty(n, dtype=np.int64)
+    L.wm_rle_ops(packed, cols, n, cols, i_fin, j_fin, rev_flags, out, cap,
+                 out_len, out_off)
+    res = []
+    for r in range(n):
+        if out_len[r] < 0:
+            raise RuntimeError("wm_rle_ops capacity exceeded")
+        o = out_off[r]
+        res.append(out[o:o + out_len[r]].copy())
     return res

@@ -8,6 +8,8 @@
 // on the host while the DP wavefront runs on the TPU.
 #include "wm_base.h"
 
+#include <algorithm>
+#include <cstring>
 #include <vector>
 
 extern "C" {
@@ -308,6 +310,50 @@ void wm_update_extra(const uint8_t* qseq_in, const uint8_t* tseq_in,
   } else {
     io->cigar = (uint32_t*)wm_malloc(cig.size() * sizeof(uint32_t));
     for (size_t k = 0; k < cig.size(); ++k) io->cigar[k] = (uint32_t)cig[k];
+  }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Batch-decode device traceback outputs: 2-bit-packed op streams (walked in
+// descending-diagonal order; 3 = idle) plus per-alignment leading remainder
+// runs -> BAM-packed CIGARs, replicating ksw_backtrack's emit order
+// (reference src/ksw2.h:144-147).  Outputs are concatenated into `out`
+// (capacity-checked by the caller) with per-alignment lengths in out_len.
+void wm_rle_ops(const uint8_t* packed, int64_t stride, int64_t n_rows,
+                int64_t cols4, const int32_t* i_fin, const int32_t* j_fin,
+                const uint8_t* rev_flags, uint32_t* out, int64_t out_cap,
+                int32_t* out_len, int64_t* out_off) {
+  int64_t w = 0;
+  std::vector<uint32_t> ops;
+  for (int64_t row = 0; row < n_rows; ++row) {
+    ops.clear();
+    const uint8_t* pr = packed + row * stride;
+    const int64_t n_ops_total = cols4 * 4;
+    // walk order = descending diagonal == descending unpacked index
+    auto push = [&](uint32_t op, uint32_t len) {
+      if (!ops.empty() && (ops.back() & 0xf) == op)
+        ops.back() += len << 4;
+      else
+        ops.push_back(len << 4 | op);
+    };
+    for (int64_t idx = n_ops_total - 1; idx >= 0; --idx) {
+      uint32_t op = (pr[idx >> 2] >> ((idx & 3) * 2)) & 3;
+      if (op != 3) push(op, 1);
+    }
+    if (i_fin[row] >= 0) push(2, (uint32_t)(i_fin[row] + 1));
+    if (j_fin[row] >= 0) push(1, (uint32_t)(j_fin[row] + 1));
+    if (!rev_flags[row]) std::reverse(ops.begin(), ops.end());
+    out_off[row] = w;
+    out_len[row] = (int32_t)ops.size();
+    if (w + (int64_t)ops.size() > out_cap) {  // caller retries with more room
+      out_len[row] = -1;
+      return;
+    }
+    std::memcpy(out + w, ops.data(), ops.size() * sizeof(uint32_t));
+    w += ops.size();
   }
 }
 
