@@ -1017,6 +1017,27 @@ def _compiled_pack_ops(cols):
     return jax.jit(pack)
 
 
+@functools.lru_cache(maxsize=32)
+def _compiled_fuse_out(cols):
+    """Fuse the per-call outputs (res (B,16) i32, fin (B,8) i32, packed ops
+    (B,cols) u8) into ONE u8 array so each device call costs a single
+    device->host fetch instead of three (each fetch pays a full link
+    round-trip on a tunnel-attached chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    def fuse(res, fin, ops):
+        B = res.shape[0]
+        r8 = jax.lax.bitcast_convert_type(res, jnp.uint8).reshape(B, 64)
+        f8 = jax.lax.bitcast_convert_type(fin, jnp.uint8).reshape(B, 32)
+        o = jnp.minimum(ops, 3)[:, :cols * 4].reshape(B, cols, 4)
+        p = (o[..., 0] | (o[..., 1] << 2) | (o[..., 2] << 4)
+             | (o[..., 3] << 6)).astype(jnp.uint8)
+        return jnp.concatenate([r8, f8, p], axis=1)
+
+    return jax.jit(fuse)
+
+
 def _unpack_ops(packed, R):
     out = np.empty((packed.shape[0], packed.shape[1] * 4), np.uint8)
     for k in range(4):
@@ -1146,36 +1167,36 @@ class DevCallPooled:
         zd_a[B0:] = -1
 
         out = run(qbuf, sfbuf, qlen_a, tlen_a, w_a, zd_a)
-        self.res_dev = out[0]
-        self.ops_dev = self.fin_dev = None
+        self.out_dev = out[0]
         if self.with_cigar:
             eb = np.int32(end_bonus)
             i0, j0 = _compiled_select_starts(self.extz_only)(
                 out[0], qlen_a, tlen_a, eb)
             tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX)
-            ops, self.fin_dev = tb(out[1], qlen_a, tlen_a, i0, j0, w_a)
+            ops, fin = tb(out[1], qlen_a, tlen_a, i0, j0, w_a)
             self.pack_cols = (R + 3) // 4  # fixed per shape: one variant
-            self.ops_dev = _compiled_pack_ops(self.pack_cols)(ops)
+            self.out_dev = _compiled_fuse_out(self.pack_cols)(out[0], fin,
+                                                              ops)
 
     def start_fetch(self):
-        """Begin async device->host copies of every output (overlaps the
-        ~27 ms link round-trips across in-flight calls)."""
-        for a in (self.res_dev, self.ops_dev, self.fin_dev):
-            if a is not None:
-                try:
-                    a.copy_to_host_async()
-                except Exception:
-                    pass
+        """Begin the async device->host copy of the fused output (one fetch
+        per call; each fetch pays a full link round-trip)."""
+        try:
+            self.out_dev.copy_to_host_async()
+        except Exception:
+            pass
 
     def collect(self):
-        res = np.asarray(self.res_dev)[:self.B0]
+        buf = np.asarray(self.out_dev)[:self.B0]
         if self.with_cigar:
-            fin = np.asarray(self.fin_dev)
+            res = np.ascontiguousarray(buf[:, :64]).view(np.int32)
+            fin = np.ascontiguousarray(buf[:, 64:96]).view(np.int32)
             from .. import native
             cigars = native.rle_ops_batch(
-                np.asarray(self.ops_dev)[:self.B0], fin[:self.B0, 0],
-                fin[:self.B0, 1],
+                np.ascontiguousarray(buf[:, 96:]), fin[:, 0], fin[:, 1],
                 np.full(self.B0, self.rev_cigar, np.uint8))
+        else:
+            res = buf
         results = []
         for i in range(self.B0):
             r = DevExtResult()

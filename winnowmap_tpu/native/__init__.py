@@ -133,11 +133,14 @@ def lib() -> ctypes.CDLL:
         L.wm_free.argtypes = [ctypes.c_void_p]
         L.wm_free.restype = None
 
+        # raw void* argtypes: this is called tens of thousands of times per
+        # read batch, and np.ctypeslib's from_param/cast marshaling costs
+        # ~9 us/arg -- the wrapper passes arr.ctypes.data ints instead.
         L.wm_test_zdrop.argtypes = [
-            u8p, u8p, np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
-            ctypes.c_int32, i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
         ]
         L.wm_test_zdrop.restype = ctypes.c_int
         L.wm_update_extra.argtypes = [
@@ -324,9 +327,10 @@ def test_zdrop(qseq, tseq, cigar, mat, *, q, e, zdrop, zdrop_inv, max_gap,
     tseq = np.ascontiguousarray(tseq, dtype=np.uint8)
     cigar = np.ascontiguousarray(cigar, dtype=np.uint32)
     mat = np.ascontiguousarray(mat, dtype=np.int8)
-    return L.wm_test_zdrop(qseq, tseq, cigar, len(cigar), mat, q, e, zdrop,
-                           zdrop_inv, max_gap, min_inv_score, min_dp_max,
-                           int(try_inv))
+    return L.wm_test_zdrop(
+        qseq.ctypes.data, tseq.ctypes.data, cigar.ctypes.data, len(cigar),
+        mat.ctypes.data, q, e, zdrop, zdrop_inv, max_gap, min_inv_score,
+        min_dp_max, int(try_inv))
 
 
 def update_extra(qseq, tseq, cigar, mat, q, e, is_eqx, *, qs, qe, rs, re, rev):
@@ -377,16 +381,21 @@ def rle_ops_batch(packed, i_fin, j_fin, rev_flags):
     i_fin = np.ascontiguousarray(i_fin, dtype=np.int32)
     j_fin = np.ascontiguousarray(j_fin, dtype=np.int32)
     rev_flags = np.ascontiguousarray(rev_flags, dtype=np.uint8)
-    cap = int(cols * 4 + 8) * max(n, 1)
-    out = np.empty(cap, dtype=np.uint32)
+    # Runs are rarely length-1, so start well under the worst case
+    # (cols*4+8 per row) and let the C side signal overflow for a retry.
+    cap = max(4096, (int(cols) + 8) * max(n, 1))
+    hard_cap = int(cols * 4 + 8) * max(n, 1)
     out_len = np.empty(n, dtype=np.int32)
     out_off = np.empty(n, dtype=np.int64)
-    L.wm_rle_ops(packed, cols, n, cols, i_fin, j_fin, rev_flags, out, cap,
-                 out_len, out_off)
+    while True:
+        out = np.empty(cap, dtype=np.uint32)
+        L.wm_rle_ops(packed, cols, n, cols, i_fin, j_fin, rev_flags, out,
+                     cap, out_len, out_off)
+        if n == 0 or out_len.min() >= 0:
+            break
+        cap = min(cap * 4, hard_cap)
     res = []
     for r in range(n):
-        if out_len[r] < 0:
-            raise RuntimeError("wm_rle_ops capacity exceeded")
         o = out_off[r]
         res.append(out[o:o + out_len[r]].copy())
     return res
