@@ -205,8 +205,48 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
                 del queues[key]
                 dispatch(key, us)
         if not inflight:
-            # every remaining unit is parked in a sub-minimum bucket:
-            # run them on the host to make progress
+            # every remaining unit is parked in a sub-minimum bucket: merge
+            # buckets that share scoring/end_bonus/flag (the kernel takes
+            # lengths, band width and z-drop as runtime inputs, so jobs of
+            # different shapes can share one call padded to the coarsest
+            # quantized shape) and dispatch any merged group that can fill
+            # a call; host-run only the rest
+            merged = defaultdict(list)
+            for key, us in queues.items():
+                merged[key[:7]].extend((key, u) for u in us)
+            queues.clear()
+            promoted = False
+            for mk, kus in merged.items():
+                # greedy shape-aware packing: sweep shapes small->large so a
+                # group's padded waste stays bounded; close a group when the
+                # next shape would blow up its per-job cost by >4x
+                kus.sort(key=lambda ku: (ku[0][8] + ku[0][9], ku[0][7]))
+                lo = 0
+                while lo < len(kus):
+                    hi, wq, Lq, Lt = lo, 1, 1, 1
+                    base = None
+                    while hi < len(kus):
+                        k = kus[hi][0]
+                        nwq = max(wq, k[7])
+                        nLq, nLt = max(Lq, k[8]), max(Lt, k[9])
+                        pj = call_bytes(mk + (nwq, nLq, nLt), 1)
+                        if base is None:
+                            base = pj
+                        if hi - lo >= MIN_DEV_BATCH and pj > 4 * base:
+                            break
+                        wq, Lq, Lt = nwq, nLq, nLt
+                        hi += 1
+                    group = kus[lo:hi]
+                    if len(group) >= MIN_DEV_BATCH:
+                        STATS["dev_merged"] += len(group)
+                        dispatch(mk + (wq, Lq, Lt), [u for _, u in group])
+                        promoted = True
+                    else:
+                        for k, u in group:
+                            queues[k].append(u)
+                    lo = hi
+            if promoted:
+                continue
             stragglers = [u for us in queues.values() for u in us]
             queues.clear()
             STATS["host_small"] += len(stragglers)
@@ -222,7 +262,9 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
                 t.advance(send)
                 enqueue(t)
             continue
-        # drain the whole in-flight wave so collects overlap
+        # drain the in-flight wave; any bucket the feedback fills dispatches
+        # IMMEDIATELY so the device chews on the next wave while the host is
+        # still collecting this one
         while inflight:
             call, chunk, nbytes = inflight.popleft()
             inflight_bytes -= nbytes
