@@ -164,3 +164,61 @@ def test_meryl_import_roundtrip(golden_dir, tmp_path, capsys):
                        "-output", str(imp)]) == 0
     assert meryl_main(["print", str(imp)]) == 0
     assert capsys.readouterr().out == text
+
+
+def test_meryl_db_container_interop(golden_dir, tmp_path, counts):
+    """The on-disk DB container is the real meryl v1 format: our writer's
+    DBs are read by the reference meryl (print/histogram byte-match) and
+    our reader decodes reference-meryl DBs (reference kmers-v1 writer/
+    reader, stuffedBits container).  Oracle-gated."""
+    import os
+    import subprocess
+
+    from winnowmap_tpu.kcount.meryldb import is_meryl_db, read_meryl_db
+
+    db = tmp_path / "db"
+    counts.save(str(db))
+    assert is_meryl_db(str(db))
+    assert sorted(os.listdir(db)) == sorted(
+        ["merylIndex"]
+        + [f"0x{i:06b}.merylData" for i in range(64)]
+        + [f"0x{i:06b}.merylIndex" for i in range(64)])
+
+    # our reader round-trips our writer
+    kc2 = KmerCounts.load(str(db))
+    assert kc2.k == counts.k
+    assert np.array_equal(kc2.kmers, counts.kmers)
+    assert np.array_equal(kc2.counts, counts.counts)
+
+    meryl = "/tmp/refbuild/bin/meryl"
+    if not os.path.exists(meryl):
+        pytest.skip("oracle meryl not present")
+
+    # reference meryl reads our DB: print and histogram byte-match ours
+    out = subprocess.run([meryl, "print", str(db)], capture_output=True,
+                         text=True, check=True).stdout
+    assert sorted(out.splitlines()) == sorted(counts.print_lines())
+    hist = subprocess.run([meryl, "histogram", str(db)],
+                          capture_output=True, text=True, check=True).stdout
+    vals, occ = counts.histogram()
+    assert [tuple(map(int, l.split())) for l in hist.splitlines()] \
+        == list(zip(vals.tolist(), occ.tolist()))
+
+    # our reader decodes a reference-meryl-produced DB (single-line FASTA:
+    # the vendored meryl drops k-mers spanning FASTA line breaks)
+    seq = []
+    for line in open(golden_dir / "t_ref.fa"):
+        if line.startswith(">"):
+            seq.append(("\n" if seq else "") + line.strip() + "\n")
+        else:
+            seq.append(line.strip())
+    oneline = tmp_path / "oneline.fa"
+    oneline.write_text("".join(seq) + "\n")
+    odb = tmp_path / "odb"
+    subprocess.run([meryl, "count", "k=15", "output", str(odb),
+                    str(oneline)], capture_output=True, check=True)
+    k, km, ct = read_meryl_db(str(odb))
+    order = np.argsort(km)
+    assert k == 15
+    assert np.array_equal(km[order], counts.kmers)
+    assert np.array_equal(ct[order], counts.counts)

@@ -121,19 +121,22 @@ class KmerCounts:
         for code, cnt in zip(self.kmers.tolist(), self.counts.tolist()):
             yield f"{self.decode(code)}\t{cnt}"
 
-    # ---- persistence (own compact format; a directory like meryl's DB) ----
+    # ---- persistence: the real meryl v1 on-disk DB container, readable
+    # by (and from) the reference meryl tools; legacy .npz DBs still load.
 
     def save(self, path: str) -> None:
-        os.makedirs(path, exist_ok=True)
-        np.savez_compressed(
-            os.path.join(path, "counts.npz"),
-            k=np.int64(self.k),
-            kmers=self.kmers,
-            counts=self.counts,
-        )
+        from .meryldb import write_meryl_db
+
+        write_meryl_db(path, self.k, self.kmers, self.counts)
 
     @staticmethod
     def load(path: str) -> "KmerCounts":
+        from .meryldb import is_meryl_db, read_meryl_db
+
+        if is_meryl_db(path):
+            k, kmers, counts = read_meryl_db(path)
+            order = np.argsort(kmers)
+            return KmerCounts(k, kmers[order], counts[order])
         f = np.load(os.path.join(path, "counts.npz"))
         return KmerCounts(int(f["k"]), f["kmers"], f["counts"])
 

@@ -40,7 +40,9 @@ BINOPS = {
 
 
 def _is_db(path: str) -> bool:
-    return os.path.isdir(path) and os.path.exists(os.path.join(path, "counts.npz"))
+    return os.path.isdir(path) and (
+        os.path.exists(os.path.join(path, "merylIndex"))
+        or os.path.exists(os.path.join(path, "counts.npz")))
 
 
 def _load_or_err(path: str) -> KmerCounts:

@@ -19,6 +19,7 @@ import numpy as np
 _SRC_DIR = Path(__file__).parent / "src"
 _BUILD_DIR = Path(__file__).parent / "_build"
 _SOURCES = ["wm_ksw.cpp", "wm_chain.cpp", "wm_sketch.cpp", "wm_fastx.cpp",
+            "wm_meryl.cpp",
             "wm_cigar.cpp", "wm_sdust.cpp"]
 
 
@@ -153,6 +154,17 @@ def lib() -> ctypes.CDLL:
         L.wm_sdust.argtypes = [u8p, ctypes.c_int64, ctypes.c_int,
                                ctypes.c_int, ctypes.POINTER(pu64)]
         L.wm_sdust.restype = ctypes.c_int64
+        L.wm_meryl_decode_data.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_uint32,
+            ctypes.POINTER(pu64), ctypes.POINTER(pu64)]
+        L.wm_meryl_decode_data.restype = ctypes.c_int64
+        L.wm_meryl_encode_block.argtypes = [
+            ctypes.c_uint64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_int64)]
+        L.wm_meryl_encode_block.restype = ctypes.POINTER(ctypes.c_uint8)
         L.wm_rle_ops.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -399,3 +411,37 @@ def rle_ops_batch(packed, i_fin, j_fin, rev_flags):
         o = out_off[r]
         res.append(out[o:o + out_len[r]].copy())
     return res
+
+
+def meryl_decode_data(buf: bytes, suffix_size: int):
+    """Decode one .merylData file -> (kmers u64 asc-by-block, values u64)."""
+    L = lib()
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    pk = ctypes.POINTER(ctypes.c_uint64)()
+    pv = ctypes.POINTER(ctypes.c_uint64)()
+    n = L.wm_meryl_decode_data(arr, len(arr), suffix_size,
+                               ctypes.byref(pk), ctypes.byref(pv))
+    if n < 0:
+        raise ValueError(f"malformed meryl data file (code {n})")
+    if n == 0:
+        k = v = np.zeros(0, np.uint64)
+    else:
+        k = np.ctypeslib.as_array(pk, (n,)).copy()
+        v = np.ctypeslib.as_array(pv, (n,)).copy()
+    L.wm_free(pk)
+    L.wm_free(pv)
+    return k, v
+
+
+def meryl_encode_block(prefix: int, sufs, vals, suffix_size: int,
+                       vct: int = 1) -> bytes:
+    """Encode one meryl data block as a stuffedBits dump (bytes)."""
+    L = lib()
+    sufs = np.ascontiguousarray(sufs, dtype=np.uint64)
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    nb = ctypes.c_int64()
+    p = L.wm_meryl_encode_block(prefix, len(sufs), sufs, vals, suffix_size,
+                                vct, ctypes.byref(nb))
+    out = ctypes.string_at(p, nb.value)
+    L.wm_free(p)
+    return out
