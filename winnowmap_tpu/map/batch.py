@@ -25,8 +25,10 @@ from .frag import (MapResult, McasState, _map_vanilla_gen, make_qseq0,
 
 # jobs whose padded DP exceeds this per-side length run on the host instead
 MAX_DEV_LEN = 32768
-# minimum bucket size worth a device round-trip (latency ~27 ms)
-MIN_DEV_BATCH = 8
+# minimum bucket size worth a device round-trip (latency ~27 ms); merged
+# stall-time groups use the lower bound (they'd otherwise run on the host)
+MIN_DEV_BATCH = 64
+MIN_MERGED_BATCH = 8
 # cap the direction-tensor footprint of one device call
 MAX_DIRS_BYTES = 2 << 30
 
@@ -232,12 +234,12 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
                         pj = call_bytes(mk + (nwq, nLq, nLt), 1)
                         if base is None:
                             base = pj
-                        if hi - lo >= MIN_DEV_BATCH and pj > 4 * base:
+                        if hi - lo >= MIN_MERGED_BATCH and pj > 4 * base:
                             break
                         wq, Lq, Lt = nwq, nLq, nLt
                         hi += 1
                     group = kus[lo:hi]
-                    if len(group) >= MIN_DEV_BATCH:
+                    if len(group) >= MIN_MERGED_BATCH:
                         STATS["dev_merged"] += len(group)
                         dispatch(mk + (wq, Lq, Lt), [u for _, u in group])
                         promoted = True
