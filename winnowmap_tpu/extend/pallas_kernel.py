@@ -823,7 +823,8 @@ class DevExtResult:
                  "mte_q", "score", "reach_end", "cigar")
 
 
-_LEN_STEPS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+_LEN_STEPS = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144,
+              8192, 12288, 16384, 24576, 32768, 65536)
 
 
 def quantize_len(n: int) -> int:

@@ -180,6 +180,10 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
         end_bonus, flag = key[5], key[6]
         per_job = call_bytes(key, 1)
         cap = max(MIN_DEV_BATCH, int(MAX_DIRS_BYTES // max(1, per_job)))
+        # longest jobs first: same-length jobs share kernel tiles, so whole
+        # tiles go dead together and the wavefront's liveness guard skips
+        # their remaining anti-diagonals
+        units = sorted(units, key=lambda u: -(u[2][0][2] + u[2][1][2]))
         for lo in range(0, len(units), cap):
             chunk = units[lo:lo + cap]
             t0 = time.time()
