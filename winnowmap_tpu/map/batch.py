@@ -190,7 +190,7 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
             call = DevCallPooled(
                 pools, [u[2] for u in chunk], mat, opt.q, opt.e,
                 opt.q2, opt.e2, end_bonus, flag,
-                TB=32)
+                TB=64 if len(chunk) >= 64 else 32)
             call.start_fetch()
             STATS["dispatch_s"] += time.time() - t0
             STATS["dev_calls"] += 1
