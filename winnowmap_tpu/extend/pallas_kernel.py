@@ -827,10 +827,10 @@ _LEN_STEPS = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144,
               8192, 12288, 16384, 24576, 32768, 65536)
 
 
-def quantize_len(n: int) -> int:
-    for s in _LEN_STEPS:
-        if n <= s:
-            return s
+def quantize_len(n: int, _bisect=__import__("bisect").bisect_left) -> int:
+    i = _bisect(_LEN_STEPS, n)
+    if i < len(_LEN_STEPS):
+        return _LEN_STEPS[i]
     return _round_up(n, 16384)
 
 
@@ -939,11 +939,12 @@ class DevCall:
         if self.with_cigar:
             ops = np.asarray(self.ops_dev)
             fin = np.asarray(self.fin_dev)
+        res9 = res[:, :9].tolist()
         results = []
         for i in range(self.B0):
             r = DevExtResult()
             (r.max, zdr, r.max_q, r.max_t, r.mqe, r.mqe_t, r.mte, r.mte_q,
-             r.score) = (int(v) for v in res[i, :9])
+             r.score) = res9[i]
             r.zdropped = bool(zdr)
             r.reach_end = False
             r.cigar = np.zeros(0, np.uint32)
@@ -1198,11 +1199,12 @@ class DevCallPooled:
                 np.full(self.B0, self.rev_cigar, np.uint8))
         else:
             res = buf
+        res9 = res[:, :9].tolist()
         results = []
         for i in range(self.B0):
             r = DevExtResult()
             (r.max, zdr, r.max_q, r.max_t, r.mqe, r.mqe_t, r.mte, r.mte_q,
-             r.score) = (int(v) for v in res[i, :9])
+             r.score) = res9[i]
             r.zdropped = bool(zdr)
             r.reach_end = False
             r.cigar = np.zeros(0, np.uint32)

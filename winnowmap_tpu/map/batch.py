@@ -76,30 +76,42 @@ class _Task:
         return None
 
 
+_MAT_BYTES_CACHE: dict = {}
+
+
+def _mat_bytes(mat):
+    key = id(mat)
+    v = _MAT_BYTES_CACHE.get(key)
+    if v is None or v[0] is not mat:
+        v = (mat, mat.tobytes())
+        _MAT_BYTES_CACHE[key] = v
+    return v[1]
+
+
 def _bucket_key(job):
     opt, qseq, tseq, mat, w, end_bonus, zdrop, flag = job[:8]
     from ..extend.pallas_kernel import quantize_len
 
     # w and zdrop are runtime inputs to the kernels; only the quantized
     # band ceiling (tile width) and end_bonus (shared per call) bucket
-    return (opt.q, opt.e, opt.q2, opt.e2, mat.tobytes(), end_bonus,
+    return (opt.q, opt.e, opt.q2, opt.e2, _mat_bytes(mat), end_bonus,
             flag, quantize_len(max(1, w)),
             quantize_len(max(1, len(qseq))),
             quantize_len(max(1, len(tseq))))
 
 
-def _device_eligible(job):
+def _device_eligible(job, _len=len):
     opt, qseq, tseq, mat, w, end_bonus, zdrop, flag = job[:8]
+    lq = _len(qseq)
+    lt = _len(tseq)
+    if lq == 0 or lt == 0 or lq > MAX_DEV_LEN or lt > MAX_DEV_LEN:
+        return False
     if opt.flag & MM_F_SPLICE:
         return False
-    if len(qseq) == 0 or len(tseq) == 0:
-        return False
-    if len(qseq) > MAX_DEV_LEN or len(tseq) > MAX_DEV_LEN:
-        return False
     # rank packing in the row-max supports bands up to ~6k lanes
-    if min(len(qseq), len(tseq), w + 1) > 6000:
+    if w + 1 > 6000 and lq > 6000 and lt > 6000:
         return False
-    if opt.max_sw_mat > 0 and len(qseq) * len(tseq) > opt.max_sw_mat:
+    if opt.max_sw_mat > 0 and lq * lt > opt.max_sw_mat:
         return False  # align_pair returns the dummy-drop result host-side
     return True
 
