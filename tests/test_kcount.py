@@ -222,3 +222,73 @@ def test_meryl_db_container_interop(golden_dir, tmp_path, counts):
     assert k == 15
     assert np.array_equal(km[order], counts.kmers)
     assert np.array_equal(ct[order], counts.counts)
+
+
+def test_meryl_side_tools_oracle_parity(golden_dir, tmp_path, counts):
+    """meryl-simple dump/histogram, meryl-analyze GC/GA composition
+    histograms, and position-lookup hpq/mpb/qpb reports byte-match the
+    reference side tools (reference ext/meryl/src/meryl-simple,
+    meryl-analyze, meryl-lookup/position-lookup.C).  Oracle-gated."""
+    import os
+    import subprocess
+
+    bindir = "/tmp/refbuild/bin"
+    if not os.path.exists(f"{bindir}/meryl-simple"):
+        pytest.skip("oracle side tools not present")
+
+    # single-line FASTA (the vendored meryl family drops k-mers spanning
+    # FASTA line breaks)
+    seq = []
+    for line in open(golden_dir / "t_ref.fa"):
+        if line.startswith(">"):
+            seq.append(("\n" if seq else "") + line.strip() + "\n")
+        else:
+            seq.append(line.strip())
+    ref1 = tmp_path / "ref1.fa"
+    ref1.write_text("".join(seq) + "\n")
+
+    from winnowmap_tpu.meryl_analyze_cli import main as analyze_main
+    from winnowmap_tpu.meryl_simple_cli import main as simple_main
+    from winnowmap_tpu.position_lookup_cli import main as poslook_main
+
+    # meryl-simple
+    subprocess.run([f"{bindir}/meryl-simple", "-k", "15", "-S", str(ref1),
+                    "-D", str(tmp_path / "o.dump"),
+                    "-H", str(tmp_path / "o.hist")],
+                   capture_output=True, check=True)
+    assert simple_main(["-k", "15", "-S", str(ref1),
+                        "-D", str(tmp_path / "u.dump"),
+                        "-H", str(tmp_path / "u.hist")]) == 0
+    assert (tmp_path / "u.dump").read_bytes() == \
+        (tmp_path / "o.dump").read_bytes()
+    assert (tmp_path / "u.hist").read_bytes() == \
+        (tmp_path / "o.hist").read_bytes()
+
+    # meryl-analyze over a reference-meryl DB
+    db = tmp_path / "db"
+    subprocess.run([f"{bindir}/meryl", "count", "k=15", "output", str(db),
+                    str(ref1)], capture_output=True, check=True)
+    for mode in ("-gc", "-ga"):
+        subprocess.run([f"{bindir}/meryl-analyze", "-mers", str(db),
+                        "-prefix", str(tmp_path / "o_an"), mode],
+                       capture_output=True, check=True)
+        assert analyze_main(["-mers", str(db),
+                             "-prefix", str(tmp_path / "u_an"), mode]) == 0
+    for ext in ("GC.hist", "GA.hist", "TC.hist", "GA_TC.hist"):
+        assert (tmp_path / f"u_an.{ext}").read_bytes() == \
+            (tmp_path / f"o_an.{ext}").read_bytes()
+
+    # position-lookup
+    reads = golden_dir / "t_reads.fa"
+    subprocess.run([f"{bindir}/position-lookup", "-m", str(db), "-s",
+                    str(ref1), "-hpq", str(tmp_path / "o_hpq"),
+                    "-mpb", str(tmp_path / "o_mpb"),
+                    "-qpb", str(tmp_path / "o_qpb"), str(reads)],
+                   capture_output=True, check=True)
+    assert poslook_main(["-m", str(db), "-s", str(ref1),
+                         "-hpq", str(tmp_path / "u_hpq"),
+                         "-mpb", str(tmp_path / "u_mpb"),
+                         "-qpb", str(tmp_path / "u_qpb"), str(reads)]) == 0
+    for f in ("hpq", "mpb", "qpb"):
+        assert (tmp_path / f"u_{f}").read_bytes() == \
+            (tmp_path / f"o_{f}").read_bytes()
