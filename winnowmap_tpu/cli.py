@@ -125,12 +125,6 @@ def main(argv: list[str] | None = None) -> int:
             io.w = int(take())
         elif a == "-H":
             io.flag |= 1
-        elif a == "-I":
-            io.batch_size = _num(take())
-        elif a == "--junc-bed":
-            junc_bed = take()
-        elif a == "--junc-bonus":
-            mo.junc_bonus = int(take())
         elif a == "-t":
             n_threads = int(take())
         elif a == "-f":

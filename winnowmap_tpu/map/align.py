@@ -46,8 +46,18 @@ WM_EZ_SPLICE_REV = 0x200
 WM_EZ_SPLICE_FLANK = 0x400
 
 
+_MAT_CACHE: dict = {}
+
+
 def gen_simple_mat(a: int, b: int, sc_ambi: int) -> np.ndarray:
-    """5x5 match/mismatch matrix (reference ksw_gen_simple_mat, align.c:9-22)."""
+    """5x5 match/mismatch matrix (reference ksw_gen_simple_mat, align.c:9-22).
+
+    Memoized per (a, b, sc_ambi) so callers on the per-chain hot path share
+    one array object (the batch scheduler keys a cache on its identity)."""
+    key = (a, b, sc_ambi)
+    cached = _MAT_CACHE.get(key)
+    if cached is not None:
+        return cached
     a = abs(a)
     b = -abs(b)
     sc_ambi = -abs(sc_ambi)
@@ -58,6 +68,8 @@ def gen_simple_mat(a: int, b: int, sc_ambi: int) -> np.ndarray:
         mat[i * 5 + 4] = sc_ambi
     for j in range(5):
         mat[20 + j] = sc_ambi
+    mat.setflags(write=False)
+    _MAT_CACHE[key] = mat
     return mat
 
 

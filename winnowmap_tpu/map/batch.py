@@ -77,12 +77,15 @@ class _Task:
 
 
 _MAT_BYTES_CACHE: dict = {}
+_MAT_BYTES_CAP = 64  # gen_simple_mat memoizes per param set; this is a backstop
 
 
 def _mat_bytes(mat):
     key = id(mat)
     v = _MAT_BYTES_CACHE.get(key)
     if v is None or v[0] is not mat:
+        if len(_MAT_BYTES_CACHE) >= _MAT_BYTES_CAP:
+            _MAT_BYTES_CACHE.clear()
         v = (mat, mat.tobytes())
         _MAT_BYTES_CACHE[key] = v
     return v[1]
@@ -101,6 +104,8 @@ def _bucket_key(job):
 
 
 def _device_eligible(job, _len=len):
+    from ..extend.pallas_kernel import H_CLAMP, quantize_len
+
     opt, qseq, tseq, mat, w, end_bonus, zdrop, flag = job[:8]
     lq = _len(qseq)
     lt = _len(tseq)
@@ -111,13 +116,22 @@ def _device_eligible(job, _len=len):
     # rank packing in the row-max supports bands up to ~6k lanes
     if w + 1 > 6000 and lq > 6000 and lt > 6000:
         return False
+    # the kernel asserts R*max(e,e2)+q+q2 < 2^17 (rank packing score range);
+    # enforce the same bound on the *quantized* lengths here so oversized
+    # jobs fall back to the host kernel instead of raising in-flight
+    R = quantize_len(max(1, lq)) + quantize_len(max(1, lt)) - 1
+    if R * max(opt.e, opt.e2) + opt.q + opt.q2 >= -H_CLAMP:
+        return False
     if opt.max_sw_mat > 0 and lq * lt > opt.max_sw_mat:
         return False  # align_pair returns the dummy-drop result host-side
     return True
 
 
 STATS = defaultdict(float)
+# per-call trace, for debugging only: unbounded growth on production runs
+# otherwise (millions of reads per process), so gated behind WM_CALL_LOG
 CALL_LOG = []
+_CALL_LOG_ON = bool(__import__("os").environ.get("WM_CALL_LOG"))
 
 # flush host-side when a bucket cannot fill and nothing is in flight
 MAX_INFLIGHT_BYTES = 6 << 30
@@ -289,7 +303,8 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
             t0 = time.time()
             ezs = call.collect()
             STATS["dev_s"] += time.time() - t0
-            CALL_LOG.append((call.R, len(chunk), time.time() - t0))
+            if _CALL_LOG_ON:
+                CALL_LOG.append((call.R, len(chunk), time.time() - t0))
             ready = []
             for (t, k, rj, job), ez in zip(chunk, ezs):
                 send = t.deliver(k, ez)

@@ -1,0 +1,405 @@
+"""Native-engine batched mapping driver.
+
+The per-read orchestration (seeding, chaining, hit bookkeeping, alignment
+control flow, MCAS staging — reference src/map.c:279-981 and src/hit.c /
+src/align.c) runs inside the C++ engine (native/src/wm_engine.cpp) on
+lightweight threads; this module drives the device side: it pulls flat
+extension-DP job descriptors from the engine, batches them by shape onto
+the Pallas TPU kernels (extend/pallas_kernel.DevCallPooled), and feeds the
+results back.  Python never touches a per-anchor or per-region loop.
+
+Byte-identical to map/frag.map_one by construction (the engine is a port
+of the same parity-tested logic; tests/test_engine.py asserts equality).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from collections import defaultdict, deque
+
+import numpy as np
+
+from .. import native
+from ..options import (
+    MM_F_FOR_ONLY,
+    MM_F_NO_DIAG,
+    MM_F_NO_DUAL,
+    MM_F_REV_ONLY,
+    MM_F_SPLICE,
+    MM_F_SR,
+    MapOptions,
+    stage1_options,
+    stage2_options,
+)
+from .batch import MAX_DIRS_BYTES, MIN_DEV_BATCH, MIN_MERGED_BATCH, STATS
+from .frag import MapResult, _x31_hash
+from .hit import Extra, Reg
+
+# job row columns (wm_engine.cpp JOB_I64 layout)
+(C_ID, C_QOFF, C_QLEN, C_QREV, C_TOFF, C_TLEN, C_TREV, C_W, C_ZD, C_EB,
+ C_FLAG, C_PROF) = range(12)
+
+
+def engine_supported(opt: MapOptions) -> bool:
+    """Flags the native engine handles; anything else falls back to the
+    generator path (map/batch.py)."""
+    unsupported = (MM_F_SPLICE | MM_F_NO_DIAG | MM_F_NO_DUAL | MM_F_FOR_ONLY
+                   | MM_F_REV_ONLY | MM_F_SR)
+    return not (opt.flag & unsupported)
+
+
+def _opts_to_c(opt: MapOptions) -> native.EngOptsC:
+    o = native.EngOptsC()
+    for name, _ in o._fields_:
+        if name == "pad_":
+            continue
+        setattr(o, name, getattr(opt, name) if not isinstance(
+            getattr(opt, name), bool) else int(getattr(opt, name)))
+    return o
+
+
+def _index_to_c(mi) -> tuple[native.EngIndexC, list]:
+    keep = []
+
+    def ptr(a):
+        keep.append(a)
+        return a.ctypes.data_as(ctypes.c_void_p) if a.size else None
+
+    seq_off = np.array([s.offset for s in mi.seqs], np.int64)
+    seq_len = np.array([s.length for s in mi.seqs], np.int32)
+    c = native.EngIndexC()
+    c.keys = ptr(np.ascontiguousarray(mi.keys, np.uint64))
+    c.start = ptr(np.ascontiguousarray(mi.start, np.int64))
+    c.pos = ptr(np.ascontiguousarray(mi.pos, np.uint64))
+    c.codes = ptr(np.ascontiguousarray(mi.codes, np.uint8))
+    c.seq_off = ptr(seq_off)
+    c.seq_len = ptr(seq_len)
+    c.wset = ptr(np.ascontiguousarray(mi.wset, np.uint64))
+    c.n_keys = len(mi.keys)
+    c.n_wset = len(mi.wset)
+    c.n_seq = len(mi.seqs)
+    c.w = mi.w
+    c.k = mi.k
+    c.idx_flag = mi.flag
+    return c, keep
+
+
+def _check_sizes(L):
+    s = np.zeros(3, np.int64)
+    L.wm_eng_sizes.argtypes = [ctypes.c_void_p]
+    L.wm_eng_sizes(s.ctypes.data)
+    assert s[0] == ctypes.sizeof(native.EngOptsC), (s[0], ctypes.sizeof(native.EngOptsC))
+    assert s[1] == ctypes.sizeof(native.EngIndexC), (s[1], ctypes.sizeof(native.EngIndexC))
+    assert s[2] == native.REGOUT_DTYPE.itemsize, (s[2], native.REGOUT_DTYPE.itemsize)
+
+
+class MapEngine:
+    """One batch's native engine + device scheduler."""
+
+    def __init__(self, mi, opt: MapOptions, seqs, qnames, pools, qoffs,
+                 qpool_np):
+        self.L = native.lib()
+        _check_sizes(self.L)
+        self.mi = mi
+        self.opt = opt
+        self.pools = pools
+        self.device = not isinstance(pools, _HostOnlyPools)
+        self.n = len(seqs)
+        self._keep = [qpool_np]
+        self._seqs = seqs  # bytes objects must outlive the engine
+
+        self.opts3 = [opt, stage1_options(opt), stage2_options(opt)]
+        self.c_opts = [_opts_to_c(o) for o in self.opts3]
+        self.c_idx, keep = _index_to_c(mi)
+        self._keep += keep
+        self.h = self.L.wm_eng_create(
+            ctypes.byref(self.c_idx), ctypes.byref(self.c_opts[0]),
+            ctypes.byref(self.c_opts[1]), ctypes.byref(self.c_opts[2]),
+            qpool_np.ctypes.data_as(ctypes.c_void_p),
+            int(os.environ.get("WM_ENGINE_THREADS", "512")))
+        self.empty = []
+        for i, (seq, name) in enumerate(zip(seqs, qnames)):
+            if len(seq) == 0:
+                self.empty.append(i)
+            of, orv = qoffs[i]
+            self.L.wm_eng_add_read(
+                self.h, ctypes.c_char_p(seq), len(seq), of, orv,
+                _x31_hash(name) if name else 0)
+
+    def close(self):
+        if self.h:
+            self.L.wm_eng_destroy(self.h)
+            self.h = None
+
+    # ---- device scheduling -------------------------------------------
+
+    def _step(self) -> np.ndarray:
+        p = ctypes.POINTER(ctypes.c_int64)()
+        n = self.L.wm_eng_step(self.h, ctypes.byref(p))
+        if n == 0:
+            return np.zeros((0, 12), np.int64)
+        return np.ctypeslib.as_array(p, (n, 12)).copy()
+
+    def _deliver(self, rows: np.ndarray, ezs) -> None:
+        n = len(rows)
+        ids = np.ascontiguousarray(rows[:, C_ID])
+        res = np.zeros((n, 10), np.int32)
+        cigs = []
+        off = np.zeros(n, np.int64)
+        ln = np.zeros(n, np.int32)
+        o = 0
+        for i, ez in enumerate(ezs):
+            res[i] = (ez.max, ez.zdropped, ez.max_q, ez.max_t, ez.mqe,
+                      ez.mqe_t, ez.mte, ez.mte_q, ez.score, ez.reach_end)
+            c = ez.cigar
+            off[i] = o
+            ln[i] = len(c)
+            if len(c):
+                cigs.append(c)
+                o += len(c)
+        blob = np.concatenate(cigs) if cigs else np.zeros(1, np.uint32)
+        blob = np.ascontiguousarray(blob, np.uint32)
+        self.L.wm_eng_deliver(self.h, n, ids.ctypes.data, res.ctypes.data,
+                              blob.ctypes.data, off.ctypes.data,
+                              ln.ctypes.data)
+
+    def _dispatch(self, prof, end_bonus, flag, rows) -> object:
+        """One DevCallPooled for a homogeneous group of job rows."""
+        import time
+
+        from ..extend.pallas_kernel import DevCallPooled
+        from .align import gen_simple_mat
+
+        opt = self.opts3[prof]
+        mat = gen_simple_mat(opt.a, opt.b, opt.sc_ambi)
+        # longest first: same-length jobs share kernel tiles so whole tiles
+        # go dead together for the liveness guard
+        order = np.argsort(-(rows[:, C_QLEN] + rows[:, C_TLEN]), kind="stable")
+        rows = rows[order]
+        units = [((0, int(r[C_QOFF]), int(r[C_QLEN]), bool(r[C_QREV])),
+                  (1, int(r[C_TOFF]), int(r[C_TLEN]), bool(r[C_TREV])),
+                  int(r[C_W]), int(r[C_ZD])) for r in rows]
+        t0 = time.time()
+        call = DevCallPooled(self.pools, units, mat, opt.q, opt.e, opt.q2,
+                             opt.e2, int(end_bonus), int(flag),
+                             TB=64 if len(units) >= 64 else 32)
+        call.start_fetch()
+        STATS["dispatch_s"] += time.time() - t0
+        STATS["dev_calls"] += 1
+        STATS["dev_jobs"] += len(units)
+        return (call, rows)
+
+    def _drive_phase(self):
+        """Pump the engine<->device loop until the phase's threads finish."""
+        import time
+
+        from ..extend.pallas_kernel import quantize_len
+
+        if not self.device:
+            # no TPU: run every exported job on the engine's host kernels
+            while True:
+                rows = self._step()
+                if len(rows):
+                    ids = np.ascontiguousarray(rows[:, C_ID])
+                    self.L.wm_eng_run_host_ids(self.h, len(ids),
+                                               ids.ctypes.data)
+                elif self.L.wm_eng_live(self.h) == 0:
+                    return
+
+        pending: dict = defaultdict(list)  # key -> list of row arrays
+        inflight: deque = deque()
+
+        def bucket(rows):
+            for r in rows:
+                key = (int(r[C_PROF]), int(r[C_EB]), int(r[C_FLAG]),
+                       quantize_len(max(1, int(r[C_W]))),
+                       quantize_len(max(1, int(r[C_QLEN]))),
+                       quantize_len(max(1, int(r[C_TLEN]))))
+                pending[key].append(r)
+
+        def dispatch_full():
+            did = False
+            for key in sorted(pending, key=lambda k: -len(pending[k])):
+                if len(pending[key]) >= MIN_DEV_BATCH:
+                    rows = np.stack(pending.pop(key))
+                    inflight.append(self._dispatch(key[0], key[1], key[2],
+                                                   rows))
+                    did = True
+            return did
+
+        def promote_stragglers():
+            """No full bucket and nothing in flight: merge same-profile
+            buckets into padded calls; host-run the rest in the engine."""
+            merged = defaultdict(list)
+            for key, rs in pending.items():
+                merged[key[:3]].extend((key, r) for r in rs)
+            pending.clear()
+            did = False
+            leftovers = []
+            for mk, krs in merged.items():
+                krs.sort(key=lambda kr: (kr[0][4] + kr[0][5], kr[0][3]))
+                lo = 0
+                while lo < len(krs):
+                    hi, base = lo, None
+                    wq = lq = lt = 1
+                    while hi < len(krs):
+                        k = krs[hi][0]
+                        nw, nq, nt = max(wq, k[3]), max(lq, k[4]), max(lt, k[5])
+                        pj = (min(min(nq, nt), nw + 1)) * (nq + nt)
+                        if base is None:
+                            base = pj
+                        if hi - lo >= MIN_MERGED_BATCH and pj > 4 * base:
+                            break
+                        wq, lq, lt = nw, nq, nt
+                        hi += 1
+                    group = krs[lo:hi]
+                    if len(group) >= MIN_MERGED_BATCH:
+                        rows = np.stack([r for _, r in group])
+                        STATS["dev_merged"] += len(group)
+                        inflight.append(self._dispatch(mk[0], mk[1], mk[2],
+                                                       rows))
+                        did = True
+                    else:
+                        leftovers.extend(r for _, r in group)
+                    lo = hi
+            if leftovers:
+                ids = np.ascontiguousarray(
+                    np.array([r[C_ID] for r in leftovers], np.int64))
+                STATS["host_small"] += len(ids)
+                t0 = time.time()
+                self.L.wm_eng_run_host_ids(self.h, len(ids), ids.ctypes.data)
+                STATS["host_s"] += time.time() - t0
+                did = True
+            return did
+
+        while True:
+            rows = self._step()
+            if len(rows):
+                bucket(rows)
+            progressed = dispatch_full()
+            if inflight:
+                call, crows = inflight.popleft()
+                t0 = time.time()
+                ezs = call.collect()
+                STATS["dev_s"] += time.time() - t0
+                self._deliver(crows, ezs)
+                continue
+            if pending:
+                if promote_stragglers():
+                    continue
+            if self.L.wm_eng_live(self.h) == 0 and not pending:
+                return
+            if len(rows) == 0 and not pending and not inflight:
+                # all live threads are mid-delivery wakeups; loop once more
+                if self.L.wm_eng_live(self.h) == 0:
+                    return
+
+    # ---- results ------------------------------------------------------
+
+    def results(self) -> list[MapResult]:
+        out = []
+        preg = ctypes.POINTER(ctypes.c_uint8)()
+        pcig = ctypes.POINTER(ctypes.c_uint32)()
+        ncig = ctypes.c_int64()
+        rep_len = ctypes.c_int64()
+        frag_gap = ctypes.c_int32()
+        rep_def = ctypes.c_int32()
+        for i in range(self.n):
+            n = self.L.wm_eng_result(
+                self.h, i, ctypes.byref(preg), ctypes.byref(pcig),
+                ctypes.byref(ncig), ctypes.byref(rep_len),
+                ctypes.byref(frag_gap), ctypes.byref(rep_def))
+            regs = []
+            if n:
+                raw = np.ctypeslib.as_array(
+                    preg, (n * native.REGOUT_DTYPE.itemsize,))
+                rv = raw.view(native.REGOUT_DTYPE)
+                cig = (np.ctypeslib.as_array(pcig, (ncig.value,)).copy()
+                       if ncig.value else np.zeros(0, np.uint32))
+                for j in range(n):
+                    f = rv[j]
+                    r = Reg(
+                        id=int(f["id"]), cnt=int(f["cnt"]), rid=int(f["rid"]),
+                        score=int(f["score"]), qs=int(f["qs"]),
+                        qe=int(f["qe"]), rs=int(f["rs"]), re=int(f["re"]),
+                        parent=int(f["parent"]), subsc=int(f["subsc"]),
+                        as_=int(f["as_"]), mlen=int(f["mlen"]),
+                        blen=int(f["blen"]), n_sub=int(f["n_sub"]),
+                        score0=int(f["score0"]), mapq=int(f["mapq"]),
+                        div=float(f["div"]), inv=bool(f["inv"]),
+                        rev=bool(f["rev"]), split=int(f["split"]),
+                        split_inv=bool(f["split_inv"]),
+                        sam_pri=bool(f["sam_pri"]),
+                        seg_split=bool(f["seg_split"]),
+                        seg_id=int(f["seg_id"]), n_segs=int(f["n_segs"]),
+                        is_alt=bool(f["is_alt"]), hash=int(f["hash"]))
+                    if f["has_p"]:
+                        co, nc = int(f["cigar_off"]), int(f["n_cigar"])
+                        r.p = Extra(
+                            dp_score=int(f["dp_score"]),
+                            dp_max=int(f["dp_max"]),
+                            dp_max2=int(f["dp_max2"]),
+                            n_ambi=int(f["n_ambi"]),
+                            trans_strand=int(f["trans_strand"]),
+                            cigar=cig[co:co + nc])
+                    regs.append(r)
+            out.append(MapResult(regs, int(rep_len.value),
+                                 int(frag_gap.value), bool(rep_def.value)))
+        return out
+
+
+def _build_pools_engine(mi, seqs):
+    """qpool of fwd+revcomp strand codes per read (batch._build_pools
+    layout) plus per-read (fwd_off, rev_off)."""
+    from ..extend.pallas_kernel import PoolContext
+    from ..io.seqcode import encode
+    from .batch import _use_device
+
+    total = sum(2 * len(s) for s in seqs)
+    cap = max(total, 1)
+    step = 4 << 20
+    cap = (cap + step - 1) // step * step
+    qpool = np.zeros(cap, np.uint8)
+    qoffs = []
+    o = 0
+    for seq in seqs:
+        L = len(seq)
+        fwd = encode(seq)
+        qpool[o:o + L] = fwd
+        rev = fwd[::-1]
+        m = rev < 4
+        qpool[o + L:o + 2 * L] = np.where(m, 3 - rev, rev)
+        qoffs.append((o, o + L))
+        o += 2 * L
+    pools = PoolContext(qpool, mi.codes) if _use_device() else None
+    return pools, qoffs, qpool
+
+
+def map_batch_engine(mi, opt: MapOptions, seqs, qnames) -> list[MapResult]:
+    """Map a batch of reads through the native engine + TPU scheduler
+    (byte-identical to frag.map_one; reference mm_map semantics)."""
+    pools, qoffs, qpool = _build_pools_engine(mi, seqs)
+    if pools is None:
+        # no device: the engine still runs, all jobs on the host kernels
+        pools = _HostOnlyPools()
+    eng = MapEngine(mi, opt, seqs, qnames, pools, qoffs, qpool)
+    try:
+        eng.L.wm_eng_start_phase1(eng.h)
+        eng._drive_phase()
+        if eng.L.wm_eng_start_phase2(eng.h):
+            eng._drive_phase()
+        results = eng.results()
+    finally:
+        eng.close()
+    for i, seq in enumerate(seqs):
+        if len(seq) == 0:
+            results[i] = MapResult([], 0, 0)
+    return results
+
+
+class _HostOnlyPools:
+    """Placeholder pools when the device is disabled (WM_NO_TPU): every
+    exported job is immediately host-run inside the engine."""
+
+    def resolve(self, js):
+        return None

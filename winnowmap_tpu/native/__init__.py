@@ -20,13 +20,27 @@ _SRC_DIR = Path(__file__).parent / "src"
 _BUILD_DIR = Path(__file__).parent / "_build"
 _SOURCES = ["wm_ksw.cpp", "wm_chain.cpp", "wm_sketch.cpp", "wm_fastx.cpp",
             "wm_meryl.cpp",
-            "wm_cigar.cpp", "wm_sdust.cpp"]
+            "wm_cigar.cpp", "wm_sdust.cpp", "wm_engine.cpp"]
+
+
+def _machine_fingerprint() -> bytes:
+    """Compiler + machine tag so a cached .so built elsewhere (possibly with
+    different -march=native features) is never loaded on this host."""
+    import platform
+
+    try:
+        cxx = subprocess.run(["g++", "-dumpfullversion", "-dumpversion"],
+                             capture_output=True, text=True).stdout.strip()
+    except OSError:
+        cxx = "unknown"
+    return f"{platform.machine()}|{platform.processor()}|g++{cxx}".encode()
 
 
 def _lib_path() -> Path:
     h = hashlib.sha256()
     for s in _SOURCES + ["wm_base.h"]:
         h.update((_SRC_DIR / s).read_bytes())
+    h.update(_machine_fingerprint())
     return _BUILD_DIR / f"libwmtpu-{h.hexdigest()[:16]}.so"
 
 
@@ -37,9 +51,9 @@ def _build() -> Path:
     _BUILD_DIR.mkdir(exist_ok=True)
     cmd = (
         ["g++", "-O3", "-march=native", "-funroll-loops", "-g", "-fPIC",
-         "-shared", "-std=c++17", "-o", str(out)]
+         "-shared", "-std=c++17", "-pthread", "-o", str(out)]
         + [str(_SRC_DIR / s) for s in _SOURCES]
-        + ["-lz"]
+        + ["-lz", "-lpthread"]
     )
     subprocess.run(cmd, check=True, capture_output=True, text=True)
     return out
@@ -192,8 +206,97 @@ def lib() -> ctypes.CDLL:
         L.wm_batch_n.argtypes = [ctypes.c_void_p]
         L.wm_batch_n.restype = ctypes.c_int64
         L.wm_batch_free.argtypes = [ctypes.c_void_p]
+
+        # ---- mapping engine (wm_engine.cpp) ----
+        L.wm_eng_create.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_int]
+        L.wm_eng_create.restype = ctypes.c_void_p
+        L.wm_eng_destroy.argtypes = [ctypes.c_void_p]
+        L.wm_eng_add_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_int, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_uint32]
+        L.wm_eng_start_phase1.argtypes = [ctypes.c_void_p]
+        L.wm_eng_start_phase2.argtypes = [ctypes.c_void_p]
+        L.wm_eng_start_phase2.restype = ctypes.c_int
+        L.wm_eng_step.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))]
+        L.wm_eng_step.restype = ctypes.c_int64
+        L.wm_eng_live.argtypes = [ctypes.c_void_p]
+        L.wm_eng_live.restype = ctypes.c_int
+        L.wm_eng_deliver.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p]
+        L.wm_eng_run_host_ids.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                          ctypes.c_void_p]
+        L.wm_eng_result.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_void_p]
+        L.wm_eng_result.restype = ctypes.c_int
         _lib = L
     return _lib
+
+
+class EngOptsC(ctypes.Structure):
+    """ctypes mirror of weng::EngOpts (wm_engine.cpp) -- field order and
+    types must match the C struct exactly."""
+
+    _fields_ = (
+        [("flag", ctypes.c_int64), ("max_sw_mat", ctypes.c_int64)]
+        + [(n, ctypes.c_double) for n in
+           ("chain_gap_scale", "mask_level", "pri_ratio", "alt_drop",
+            "max_clip_ratio", "min_join_flank_ratio", "min_qcov",
+            "prefix_increment_factor")]
+        + [(n, ctypes.c_int32) for n in
+           ("seed", "sdust_thres", "bw", "max_gap", "min_gap_ref",
+            "max_gap_ref", "max_frag_len", "max_chain_skip",
+            "max_chain_iter", "min_cnt", "min_chain_score", "mask_len",
+            "best_n", "max_join_long", "max_join_short",
+            "min_join_flank_sc", "a", "b", "q", "e", "q2", "e2", "sc_ambi",
+            "noncan", "junc_bonus", "zdrop", "zdrop_inv", "end_bonus",
+            "min_dp_max", "min_ksw_len", "anchor_ext_len",
+            "anchor_ext_shift", "mid_occ", "max_occ", "min_mapq",
+            "min_prefix_length", "max_prefix_length",
+            "suffix_sample_offset", "sv_aware", "sv_aware_min_read_length",
+            "pad_")]
+    )
+
+
+class EngIndexC(ctypes.Structure):
+    """ctypes mirror of weng::EngIndex (wm_engine.cpp)."""
+
+    _fields_ = [
+        ("keys", ctypes.c_void_p), ("start", ctypes.c_void_p),
+        ("pos", ctypes.c_void_p), ("codes", ctypes.c_void_p),
+        ("seq_off", ctypes.c_void_p), ("seq_len", ctypes.c_void_p),
+        ("wset", ctypes.c_void_p),
+        ("n_keys", ctypes.c_int64), ("n_wset", ctypes.c_int64),
+        ("n_seq", ctypes.c_int32), ("w", ctypes.c_int32),
+        ("k", ctypes.c_int32), ("idx_flag", ctypes.c_int32),
+    ]
+
+
+# numpy view dtype of weng::RegOut (keep in sync with wm_engine.cpp):
+#   16 x i32 (0..60), f32 div @64, 10 x i32 inv..has_p @68..104,
+#   u32 hash @108, 5 x i32 dp_* @112..128, i64 cigar_off @136 (8-aligned),
+#   i32 n_cigar @144, pad -> itemsize 152
+_REGOUT_NAMES = [
+    "id", "cnt", "rid", "score", "qs", "qe", "rs", "re", "parent", "subsc",
+    "as_", "mlen", "blen", "n_sub", "score0", "mapq", "div", "inv", "rev",
+    "split", "split_inv", "sam_pri", "seg_split", "seg_id", "n_segs",
+    "is_alt", "has_p", "hash", "dp_score", "dp_max", "dp_max2", "n_ambi",
+    "trans_strand", "cigar_off", "n_cigar",
+]
+REGOUT_DTYPE = np.dtype({
+    "names": _REGOUT_NAMES,
+    "formats": ["<i4"] * 16 + ["<f4"] + ["<i4"] * 10 + ["<u4"]
+               + ["<i4"] * 5 + ["<i8", "<i4"],
+    "offsets": [i * 4 for i in range(28)] + [112, 116, 120, 124, 128, 136,
+                                            144],
+    "itemsize": 152,
+})
 
 
 _EMPTY_U64 = np.zeros(0, dtype=np.uint64)

@@ -79,9 +79,18 @@ def global_occ_quantile(mi, f: float, axis_name: str | None = None) -> int:
     cnt = np.diff(mi.start).astype(np.int64)
     if len(cnt) == 0:
         return 2**31 - 1
-    # histogram of occurrence counts, log2-bucketed tail for large counts
+    # histogram of occurrence counts: exact buckets below MAXC, log2-spaced
+    # sub-buckets (8 per octave) for the tail so highly repetitive indexes
+    # whose quantile exceeds MAXC-1 still resolve to within ~9%
     MAXC = 1 << 16
-    local = np.bincount(np.minimum(cnt, MAXC - 1), minlength=MAXC)
+    N_TAIL = 8 * (31 - 16)  # octaves [2^16, 2^31), 8 sub-buckets each
+    big = cnt >= MAXC
+    bucketed = cnt.copy()
+    if big.any():
+        lg = np.log2(cnt[big].astype(np.float64) / MAXC)
+        bucketed[big] = MAXC + np.minimum((lg * 8).astype(np.int64),
+                                          N_TAIL - 1)
+    local = np.bincount(bucketed, minlength=MAXC + N_TAIL)
     if axis_name is not None:
         hist = jax.lax.psum(jnp.asarray(local), axis_name)
         hist = np.asarray(hist)
@@ -91,8 +100,13 @@ def global_occ_quantile(mi, f: float, axis_name: str | None = None) -> int:
         n = len(cnt)
     kk = int((1.0 - f) * n)
     kk = min(max(kk, 0), n - 1)
+    if axis_name is None:
+        # single-shard: exact, matching mm_idx_cal_max_occ's partial sort
+        return int(np.partition(cnt, kk)[kk]) + 1
     csum = np.cumsum(hist)
     v = int(np.searchsorted(csum, kk + 1))
+    if v >= MAXC:  # tail bucket: upper edge of the log2 sub-bucket
+        v = int(MAXC * 2.0 ** ((v - MAXC + 1) / 8.0))
     return v + 1
 
 
