@@ -473,7 +473,7 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
     return kernel
 
 
-@functools.lru_cache(maxsize=128)
+@functools.lru_cache(maxsize=512)
 def _compiled_extd_pallas(B, TB, Lq, Lt, R, Wb, q, e, q2, e2, W_MAX,
                           approx_max, right_gaps, with_cigar, approx_drop,
                           sc_mch, sc_mis, sc_n, ROWS=1):
@@ -623,7 +623,7 @@ def extd_pallas(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop, end_bonus, flag,
     return result
 
 
-@functools.lru_cache(maxsize=128)
+@functools.lru_cache(maxsize=512)
 def _compiled_traceback(B, TB, R, Wb, Lq, W_MAX):
     """Device traceback: all alignments of a batch walk the direction tensor
     in lockstep over descending anti-diagonals (reference ksw_backtrack,
@@ -848,13 +848,16 @@ def quantize_len(n: int, _bisect=__import__("bisect").bisect_left) -> int:
 
 
 def quantize_batch(n: int) -> int:
-    for s in (64, 256, 1024, 4096):
+    # coarse ladder: at most 3 batch-size variants per kernel shape, so the
+    # jit/compile caches converge quickly (padded tiles die on the first
+    # anti-diagonal and the liveness guard skips them)
+    for s in (256, 1024, 4096):
         if n <= s:
             return s
     return _round_up(n, 4096)
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=512)
 def _compiled_select_starts(extz_only):
     """Device-side traceback start selection (reference wm_ksw.cpp:318-333 /
     ksw2 tail logic) so the DP -> traceback chain needs no host sync."""
@@ -984,7 +987,7 @@ def extd_cigar_device(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop, end_bonus,
                    flag, TB=TB).collect()
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=256)
 def _compiled_assemble(WQ, WT, QOFF, SOFF):
     """Device-side DP-buffer assembly: gather each job's query/target window
     from the resident sequence pools using affine (offset, sign) indices, so
@@ -1017,7 +1020,7 @@ def _compiled_assemble(WQ, WT, QOFF, SOFF):
     return jax.jit(asm)
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=256)
 def _compiled_pack_ops(cols):
     """Pack traceback op bytes 4-per-byte (2 bits each; idle 255 -> 3) so
     the ops download shrinks 4x."""
@@ -1032,7 +1035,7 @@ def _compiled_pack_ops(cols):
     return jax.jit(pack)
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=256)
 def _compiled_fuse_out(cols):
     """Fuse the per-call outputs (res (B,16) i32, fin (B,8) i32, packed ops
     (B,cols) u8) into ONE u8 array so each device call costs a single
@@ -1103,9 +1106,11 @@ class DevCallPooled:
     bytes come down."""
 
     def __init__(self, pools: PoolContext, jobs, mat, q, e, q2, e2,
-                 end_bonus, flag, TB=32):
+                 end_bonus, flag, TB=32, shape_override=None):
         # jobs: list of (qdesc, tdesc, w, zdrop) where qdesc/tdesc =
-        # (pool_sel, off, ln, rev)
+        # (pool_sel, off, ln, rev).  shape_override=(Lq, Lt, W_MAX) pins the
+        # padded call shape (merged straggler calls use a small fixed shape
+        # menu so the kernel-variant space stays bounded).
         is_extz = (q == q2 and e == e2)
         if q2 + e2 < q + e:
             q, q2 = q2, q
@@ -1115,10 +1120,13 @@ class DevCallPooled:
         tlen = np.array([j[1][2] for j in jobs], np.int32)
         ws = np.array([j[2] for j in jobs], np.int32)
         zds = np.array([j[3] for j in jobs], np.int32)
-        Lq = quantize_len(int(max(1, qlen.max())))
-        Lt = quantize_len(int(max(1, tlen.max())))
+        if shape_override is not None:
+            Lq, Lt, W_MAX = shape_override
+        else:
+            Lq = quantize_len(int(max(1, qlen.max())))
+            Lt = quantize_len(int(max(1, tlen.max())))
+            W_MAX = quantize_len(int(ws.max()))
         R = Lq + Lt - 1
-        W_MAX = quantize_len(int(ws.max()))
         n_col = min(min(Lq, Lt), W_MAX + 1)
         Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32, 128)
         B = quantize_batch(_round_up(B0, TB))
@@ -1617,7 +1625,7 @@ def _build_extz_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, W_MAX,
     return kernel
 
 
-@functools.lru_cache(maxsize=128)
+@functools.lru_cache(maxsize=512)
 def _compiled_extz_pallas(B, TB, Lq, Lt, R, Wb, q, e, W_MAX, approx_max,
                           right_gaps, with_cigar, approx_drop, sc_mch,
                           sc_mis, sc_n, max_sc):

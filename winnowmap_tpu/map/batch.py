@@ -345,7 +345,19 @@ def _build_pools(mi, seqs):
 
 def map_batch(mi, opt, seqs, qnames) -> list[MapResult]:
     """Map a batch of reads, TPU-batched (bit-identical to per-read
-    frag.map_one; reference mm_map semantics, src/map.c:279-981)."""
+    frag.map_one; reference mm_map semantics, src/map.c:279-981).
+
+    Routes to the native C++ engine (map/engine.py) whenever the option
+    flags allow it; the generator path below remains for splice and the
+    qname-dependent skip modes, and as the differential oracle
+    (WM_NO_ENGINE=1 forces it)."""
+    import os as _os
+
+    if not _os.environ.get("WM_NO_ENGINE"):
+        from .engine import engine_supported, map_batch_engine
+
+        if engine_supported(opt):
+            return map_batch_engine(mi, opt, seqs, qnames)
     n = len(seqs)
     results: list[MapResult | None] = [None] * n
     pools, qseq0s = _build_pools(mi, seqs)

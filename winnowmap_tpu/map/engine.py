@@ -163,7 +163,8 @@ class MapEngine:
                               blob.ctypes.data, off.ctypes.data,
                               ln.ctypes.data)
 
-    def _dispatch(self, prof, end_bonus, flag, rows) -> object:
+    def _dispatch(self, prof, end_bonus, flag, rows,
+                  shape_override=None) -> object:
         """One DevCallPooled for a homogeneous group of job rows."""
         import time
 
@@ -182,7 +183,8 @@ class MapEngine:
         t0 = time.time()
         call = DevCallPooled(self.pools, units, mat, opt.q, opt.e, opt.q2,
                              opt.e2, int(end_bonus), int(flag),
-                             TB=64 if len(units) >= 64 else 32)
+                             TB=64 if len(units) >= 64 else 32,
+                             shape_override=shape_override)
         call.start_fetch()
         STATS["dispatch_s"] += time.time() - t0
         STATS["dev_calls"] += 1
@@ -227,41 +229,48 @@ class MapEngine:
                     did = True
             return did
 
+        # fixed merged-call shape menu: stall-time merges snap to these
+        # (Lq=Lt=L, W) ceilings so the kernel-variant space stays bounded
+        # and the jit caches converge after the first batch instead of
+        # compiling run-dependent shape combos forever
+        MERGE_L = (256, 1024, 4096, 16384)
+        MERGE_W = (1024, 4096)
+
         def promote_stragglers():
-            """No full bucket and nothing in flight: merge same-profile
-            buckets into padded calls; host-run the rest in the engine."""
-            merged = defaultdict(list)
+            """No full bucket and nothing in flight: pack same-profile
+            stragglers into fixed-shape padded calls; host-run the rest."""
+            groups = defaultdict(list)
+            big = defaultdict(list)  # original bucket key -> rows
+            leftovers = []
             for key, rs in pending.items():
-                merged[key[:3]].extend((key, r) for r in rs)
+                prof_eb_flag = key[:3]
+                for r in rs:
+                    L = max(int(r[C_QLEN]), int(r[C_TLEN]))
+                    w = int(r[C_W])
+                    Lc = next((c for c in MERGE_L if L <= c), None)
+                    Wc = next((c for c in MERGE_W if w <= c), None)
+                    if Lc is None or Wc is None:
+                        big[key].append(r)  # too costly for the host: own call
+                    else:
+                        groups[prof_eb_flag + (Lc, min(Wc, Lc))].append(r)
             pending.clear()
             did = False
-            leftovers = []
-            for mk, krs in merged.items():
-                krs.sort(key=lambda kr: (kr[0][4] + kr[0][5], kr[0][3]))
-                lo = 0
-                while lo < len(krs):
-                    hi, base = lo, None
-                    wq = lq = lt = 1
-                    while hi < len(krs):
-                        k = krs[hi][0]
-                        nw, nq, nt = max(wq, k[3]), max(lq, k[4]), max(lt, k[5])
-                        pj = (min(min(nq, nt), nw + 1)) * (nq + nt)
-                        if base is None:
-                            base = pj
-                        if hi - lo >= MIN_MERGED_BATCH and pj > 4 * base:
-                            break
-                        wq, lq, lt = nw, nq, nt
-                        hi += 1
-                    group = krs[lo:hi]
-                    if len(group) >= MIN_MERGED_BATCH:
-                        rows = np.stack([r for _, r in group])
-                        STATS["dev_merged"] += len(group)
-                        inflight.append(self._dispatch(mk[0], mk[1], mk[2],
-                                                       rows))
-                        did = True
-                    else:
-                        leftovers.extend(r for _, r in group)
-                    lo = hi
+            for gk, rs in groups.items():
+                if len(rs) >= MIN_MERGED_BATCH:
+                    rows = np.stack(rs)
+                    STATS["dev_merged"] += len(rs)
+                    inflight.append(self._dispatch(
+                        gk[0], gk[1], gk[2], rows,
+                        shape_override=(gk[3], gk[3], gk[4])))
+                    did = True
+                else:
+                    leftovers.extend(rs)
+            for key, rs in big.items():
+                # exact bucket-key shape: same variant space as full buckets
+                rows = np.stack(rs)
+                STATS["dev_merged"] += len(rs)
+                inflight.append(self._dispatch(key[0], key[1], key[2], rows))
+                did = True
             if leftovers:
                 ids = np.ascontiguousarray(
                     np.array([r[C_ID] for r in leftovers], np.int64))
