@@ -515,9 +515,13 @@ def _compiled_extd_pallas(B, TB, Lq, Lt, R, Wb, q, e, q2, e2, W_MAX,
         pltpu.VMEM((TB, 16), jnp.int32),  # acc
     ]
     if with_cigar:
+        # dirs rows padded to the traceback's KTB multiple; rows past
+        # KR*ROWS are never written or walked (see _compiled_traceback)
+        RT = _round_up(KR * ROWS, TB_KTB)
+        assert RT % ROWS == 0
         out_shape = (
             jax.ShapeDtypeStruct((B, 16), jnp.int32),
-            jax.ShapeDtypeStruct((KR * ROWS, B, Wb), jnp.uint8),
+            jax.ShapeDtypeStruct((RT, B, Wb), jnp.uint8),
         )
         out_specs = (
             pl.BlockSpec((TB, 16), lambda b, r: (b, 0),
@@ -623,14 +627,23 @@ def extd_pallas(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop, end_bonus, flag,
     return result
 
 
+TB_KTB = 8  # anti-diagonals walked per traceback grid step
+
+
 @functools.lru_cache(maxsize=512)
-def _compiled_traceback(B, TB, R, Wb, Lq, W_MAX):
+def _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=None):
     """Device traceback: all alignments of a batch walk the direction tensor
     in lockstep over descending anti-diagonals (reference ksw_backtrack,
     src/ksw2.h:119-151 semantics incl. the force-state band clamp).  Each
     walker emits one op byte per visited diagonal into a VMEM chunk that is
     flushed 128-aligned into ops[b, r], so only (B, R) bytes ever leave the
-    device instead of the (R, B, Wb) direction tensor."""
+    device instead of the (R, B, Wb) direction tensor.
+
+    KTB anti-diagonals are walked per grid step (amortising grid overhead
+    ~KTBx), and a whole step is skipped when every walker in the tile is
+    finished or has not yet reached this row range.  Rows >= R of the
+    padded dirs tensor are never active (i + j <= R - 1), so their
+    uninitialized contents are harmless."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -639,78 +652,98 @@ def _compiled_traceback(B, TB, R, Wb, Lq, W_MAX):
     i32 = jnp.int32
     u8 = jnp.uint8
     nB = B // TB
-    Rp = _round_up(R, 128)
+    KTB = TB_KTB
+    RD = RD or _round_up(R, KTB)
+    assert RD % KTB == 0
+    NS = RD // KTB
+    Rp = _round_up(RD, 128)
 
     def kernel(dirs_ref, qlen_ref, tlen_ref, i0_ref, j0_ref, w_ref,
                ops_ref, fin_ref, wk_s, chunk_s):
-        k = pl.program_id(1)
-        r = R - 1 - k
+        kk = pl.program_id(1)
 
-        @pl.when(k == 0)
+        @pl.when(kk == 0)
         def _init():
             wk_s[:] = jnp.concatenate(
                 [i0_ref[:], j0_ref[:], jnp.zeros((TB, 6), i32)], axis=1)
             chunk_s[:] = jnp.full((TB, 128), 255, i32)
             ops_ref[:] = jnp.full((TB, Rp), 255, u8)
 
-        i = wk_s[:, 0:1]
-        j = wk_s[:, 1:2]
-        state = wk_s[:, 2:3]
         qlen = qlen_ref[:]
         tlen = tlen_ref[:]
-
         w = w_ref[:]
-        act = jnp.logical_and(jnp.logical_and(i >= 0, j >= 0), i + j == r)
-        st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
-        en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
-        st = st0 // 16 * 16
-        en = (en0 + 16) // 16 * 16 - 1
-        st0c = jnp.maximum(jnp.maximum(0, r - Lq + 1),
-                           (r - W_MAX + 1) >> 1)
-        base = st0c // 16 * 16 - 16
-
         lanes = jax.lax.broadcasted_iota(i32, (TB, Wb), 1)
-        row = dirs_ref[0, :, :].astype(i32)
-        d = jnp.sum(jnp.where(lanes == i - base, row, 0), axis=1,
-                    keepdims=True)
-        force2 = i < st
-        force1 = i > en
-        d = jnp.where(jnp.logical_or(force2, force1), 0, d)
-        s1 = jnp.where(state == 0, d & 7,
-                       jnp.where((jax.lax.shift_right_logical(
-                           d, state + 2) & 1) == 0, 0, state))
-        s2 = jnp.where(s1 == 0, d & 7, s1)
-        s3 = jnp.where(force2, 2, jnp.where(force1, 1, s2))
-        is_del = jnp.logical_or(s3 == 1, s3 == 3)
-        op = jnp.where(s3 == 0, 0, jnp.where(is_del, 2, 1))
-        i_new = jnp.where(op != 1, i - 1, i)
-        j_new = jnp.where(op != 2, j - 1, j)
-
         lanes128 = jax.lax.broadcasted_iota(i32, (TB, 128), 1)
-        opv = jnp.where(act, op, 255)
-        chunk_s[:] = jnp.where(lanes128 == (r & 127), opv, chunk_s[:])
 
-        @pl.when(r & 127 == 0)
-        def _flush():
-            o = pl.multiple_of(r, 128)
-            ops_ref[:, pl.ds(o, 128)] = chunk_s[:].astype(u8)
-            chunk_s[:] = jnp.full((TB, 128), 255, i32)
+        r_lo = RD - KTB * (kk + 1)
+        iv = wk_s[:, 0:1]
+        jv = wk_s[:, 1:2]
+        # step liveness: a walker matters here iff it is unfinished and has
+        # started by the last row of this range (i + j >= r_lo)
+        alive = jnp.logical_and(jnp.logical_and(iv >= 0, jv >= 0),
+                                iv + jv >= r_lo)
 
-        i = jnp.where(act, i_new, i)
-        j = jnp.where(act, j_new, j)
-        state = jnp.where(act, s3, state)
-        wk_s[:] = jnp.concatenate(
-            [i, j, state, jnp.zeros((TB, 5), i32)], axis=1)
+        def _sub_row(jr):
+            r = r_lo + KTB - 1 - jr
+            i = wk_s[:, 0:1]
+            j = wk_s[:, 1:2]
+            state = wk_s[:, 2:3]
+            act = jnp.logical_and(jnp.logical_and(i >= 0, j >= 0), i + j == r)
+            st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
+            en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
+            st = st0 // 16 * 16
+            en = (en0 + 16) // 16 * 16 - 1
+            st0c = jnp.maximum(jnp.maximum(0, r - Lq + 1),
+                               (r - W_MAX + 1) >> 1)
+            base = st0c // 16 * 16 - 16
+            row = dirs_ref[KTB - 1 - jr, :, :].astype(i32)
+            d = jnp.sum(jnp.where(lanes == i - base, row, 0), axis=1,
+                        keepdims=True)
+            force2 = i < st
+            force1 = i > en
+            d = jnp.where(jnp.logical_or(force2, force1), 0, d)
+            s1 = jnp.where(state == 0, d & 7,
+                           jnp.where((jax.lax.shift_right_logical(
+                               d, state + 2) & 1) == 0, 0, state))
+            s2 = jnp.where(s1 == 0, d & 7, s1)
+            s3 = jnp.where(force2, 2, jnp.where(force1, 1, s2))
+            is_del = jnp.logical_or(s3 == 1, s3 == 3)
+            op = jnp.where(s3 == 0, 0, jnp.where(is_del, 2, 1))
+            i_new = jnp.where(op != 1, i - 1, i)
+            j_new = jnp.where(op != 2, j - 1, j)
+            opv = jnp.where(act, op, 255)
+            chunk_s[:] = jnp.where(lanes128 == (r & 127), opv, chunk_s[:])
+            i = jnp.where(act, i_new, i)
+            j = jnp.where(act, j_new, j)
+            state = jnp.where(act, s3, state)
+            wk_s[:] = jnp.concatenate(
+                [i, j, state, jnp.zeros((TB, 5), i32)], axis=1)
 
-        @pl.when(k == R - 1)
+        any_alive = jnp.any(alive)
+        for jr in range(KTB):
+            r = RD - KTB * kk - 1 - jr  # == r_lo + KTB-1-jr
+
+            @pl.when(any_alive)
+            def _walk(jr=jr):
+                _sub_row(jr)
+
+            # the flush is unconditional wrt liveness: a dead tile may still
+            # hold unflushed ops in chunk_s from the rows where it was alive
+            @pl.when(r % 128 == 0)
+            def _flush(r=r):
+                o = pl.multiple_of(r, 128)
+                ops_ref[:, pl.ds(o, 128)] = chunk_s[:].astype(u8)
+                chunk_s[:] = jnp.full((TB, 128), 255, i32)
+
+        @pl.when(kk == NS - 1)
         def _out():
             fin_ref[:] = wk_s[:]
 
     call = pl.pallas_call(
         kernel,
-        grid=(nB, R),
+        grid=(nB, NS),
         in_specs=[
-            pl.BlockSpec((1, TB, Wb), lambda b, k: (R - 1 - k, b, 0),
+            pl.BlockSpec((KTB, TB, Wb), lambda b, k: (NS - 1 - k, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 1), lambda b, k: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -770,10 +803,11 @@ def traceback_batch(dirs_dev, qlen, tlen, w, Lq, i0, j0, rev_cigar,
                     TB=32, W_MAX=None):
     """Run the device traceback for a whole DP batch; returns a list of
     BAM-packed CIGARs (empty array where i0/j0 < 0)."""
-    R, B, Wb = dirs_dev.shape
+    RD, B, Wb = dirs_dev.shape
+    R = RD
     B0 = len(qlen)
     W_MAX = W_MAX or (w if np.isscalar(w) else int(np.max(w)))
-    run = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX)
+    run = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=RD)
 
     def col(v, fill):
         a = np.full((B, 1), fill, np.int32)
@@ -946,7 +980,8 @@ class DevCall:
             eb = np.int32(end_bonus)
             i0, j0 = _compiled_select_starts(self.extz_only)(
                 out[0], qlen_a, tlen_a, eb)
-            tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX)
+            tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX,
+                                     RD=out[1].shape[0])
             self.ops_dev, self.fin_dev = tb(out[1], qlen_a, tlen_a, i0, j0,
                                             w_a)
 
@@ -1195,7 +1230,8 @@ class DevCallPooled:
             eb = np.int32(end_bonus)
             i0, j0 = _compiled_select_starts(self.extz_only)(
                 out[0], qlen_a, tlen_a, eb)
-            tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX)
+            tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX,
+                                     RD=out[1].shape[0])
             ops, fin = tb(out[1], qlen_a, tlen_a, i0, j0, w_a)
             self.pack_cols = (R + 3) // 4  # fixed per shape: one variant
             self.out_dev = _compiled_fuse_out(self.pack_cols)(out[0], fin,
@@ -1660,9 +1696,10 @@ def _compiled_extz_pallas(B, TB, Lq, Lt, R, Wb, q, e, W_MAX, approx_max,
         pltpu.VMEM((TB, 16), jnp.int32),  # acc
     ]
     if with_cigar:
+        RT = _round_up(R, TB_KTB)  # padded for the multi-row traceback
         out_shape = (
             jax.ShapeDtypeStruct((B, 16), jnp.int32),
-            jax.ShapeDtypeStruct((R, B, Wb), jnp.uint8),
+            jax.ShapeDtypeStruct((RT, B, Wb), jnp.uint8),
         )
         out_specs = (
             pl.BlockSpec((TB, 16), lambda b, r: (b, 0),
