@@ -48,3 +48,54 @@ def test_hpc_sketch_runs():
     assert len(x) > 0
     spans = (x & np.uint64(0xFF)).astype(int)
     assert (spans >= 15).all()  # HPC spans at least k bases
+
+
+def test_device_sketch_parity():
+    """Device sketch (sketch/device.py: TPU k-mer roll + murmur +
+    membership, native winnowing tail) == native oracle, including HPC,
+    ambiguous bases, symmetric k-mers, and weighted sets."""
+    from winnowmap_tpu.sketch.device import sketch_device
+
+    rng = np.random.default_rng(5)
+    for trial in range(16):
+        n = int(rng.integers(50, 2500))
+        seq = rng.choice(
+            list(b"ACGTacgtN"), n,
+            p=[.22, .22, .22, .22, .02, .02, .02, .02, .04]
+        ).astype(np.uint8).tobytes()
+        hpc = trial % 2 == 1
+        k = 15
+        wset = []
+        for off in range(0, max(1, n - k), 37):
+            sub = seq[off:off + k]
+            if len(sub) == k and b'N' not in sub and b'n' not in sub:
+                wset.append(native.encode_kmer(sub))
+        wset = (np.unique(np.array(wset, np.uint64)) if wset
+                else np.zeros(0, np.uint64))
+        hx, hy = native.sketch(seq, 50, k, 3, hpc, wset)
+        dx, dy = sketch_device(seq, 50, k, 3, hpc, wset)
+        assert np.array_equal(hx, dx) and np.array_equal(hy, dy), trial
+
+
+def test_device_sketch_matches_golden_minimizers(golden_dir=None):
+    """Sketch of the golden reference through the device path equals the
+    reference's own minimizer dump (golden_ref_minimizers.txt)."""
+    from pathlib import Path
+
+    from winnowmap_tpu.io.fastx import read_all
+    from winnowmap_tpu.sketch.device import sketch_device
+
+    gold = Path(__file__).parent / "data" / "golden"
+    wset_lines = (gold / "t_rep_k15.txt").read_text().split()
+    wset = np.unique(np.array(
+        [native.encode_kmer(w.encode()) for w in wset_lines[::2]], np.uint64))
+    want = set()
+    for line in (gold / "golden_ref_minimizers.txt").read_text().splitlines():
+        rid, pos, key = line.split()
+        want.add((int(rid), int(pos), int(key)))
+    got = set()
+    for rid, rec in enumerate(read_all(str(gold / "t_ref.fa"))):
+        x, y = sketch_device(rec.seq, 50, 15, rid, False, wset)
+        for xi, yi in zip(x.tolist(), y.tolist()):
+            got.add((yi >> 32, (yi & 0xFFFFFFFF) >> 1, xi >> 8))
+    assert got == want

@@ -48,14 +48,25 @@ def _round_up(x: int, m: int) -> int:
 
 def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                        W_MAX, approx_max, right_gaps, with_cigar, approx_drop,
-                       sc_mch, sc_mis, sc_n, ROWS=1):
+                       sc_mch, sc_mis, sc_n, ROWS=32):
+    """Wavefront extd kernel, step-window formulation.
+
+    ROWS anti-diagonals are processed per grid step with ALL band state held
+    in registers/values: scratch is read once and written once per step.
+    The common window base is constant within a step (base(k) =
+    floor16(st0c(k*ROWS)) - 16, a function of the bucket maxima only) and
+    advances by a multiple of 16 between steps, when the state arrays are
+    rolled left with init refill -- reproducing exactly the reference's
+    sliding-window refill semantics (ksw2_extd2_sse.c:150-160).  Each row's
+    true rounded band [st, en] lives inside the window; per-row lane masks
+    freeze out-of-band lanes precisely like the SIMD kernel.
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     i8 = jnp.int8
-    i16 = jnp.int16
     i32 = jnp.int32
     u8 = jnp.uint8
     qe = q + e
@@ -71,9 +82,24 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
     S_STRIDE = Wb // 4 + 2  # rank stride; rank fits 14 bits for Wb <= 6500
     assert 4 * S_STRIDE + Wb + 8 < 16384, "band too wide for rank packing"
     assert R * max(e, e2) + q + q2 < -H_CLAMP, "score range vs rank packing"
+    # between-step window advance is bounded by ROWS + 16 (st0c moves at
+    # most 1/row); the Wb formula in the callers budgets for it
+    MAX_DELTA = (ROWS + 16 + 15) // 16 * 16
 
-    def basefn(r):
-        st0c = jnp.maximum(jnp.maximum(0, r - Lq + 1), (r - W_MAX + 1) >> 1)
+    # Wrap-elision gate: int8 wraps only matter where a wrapped value meets
+    # a comparison (max chain, >0 tests) on band-fringe lanes whose values
+    # drift outside the ksw2 difference bounds.  For tightly bounded
+    # profiles (map-ont / map-pb / asm20 class) the drift provably cannot
+    # reach the int8 limits within a window lifetime; wider-gap profiles
+    # (asm5/asm10) keep the exact wrap emulation.  Gate validated by the
+    # fringe-heavy randomized parity suite (tests/test_pallas.py).
+    W8_IDENTITY = (sc_mch <= 4 and -sc_mis <= 8 and q + e <= 8
+                   and q2 + e2 <= 32
+                   and (sc_n is None or -sc_n <= 8))
+
+    def stepbase(r0):
+        st0c = jnp.maximum(jnp.maximum(0, r0 - Lq + 1),
+                           (r0 - W_MAX + 1) >> 1)
         return (st0c // 16) * 16 - 16
 
     def ubound(r):
@@ -99,9 +125,9 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
             res_ref, u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, H_s, acc_s = rest
             dirs_ref = None
         k_step = pl.program_id(1)
-        r = k_step * ROWS  # first anti-diagonal of this grid step
+        r0 = k_step * ROWS  # first anti-diagonal of this grid step
 
-        @pl.when(r == 0)
+        @pl.when(r0 == 0)
         def _init():
             u_s[:] = jnp.full((TB, Wb), init_xy, i8)
             v_s[:] = jnp.full((TB, Wb), init_xy, i8)
@@ -120,69 +146,44 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
 
         qlen = qlen_ref[:]  # (TB, 1) i32
         tlen = tlen_ref[:]
+        acc0 = acc_s[:]
+        done0 = acc0[:, IDX["done"]:IDX["done"] + 1]
+        step_live = jnp.logical_not(
+            jnp.all(jnp.logical_or(done0 >= 1, r0 >= qlen + tlen - 1)))
+        if R % ROWS != 0:
+            step_live = jnp.logical_and(step_live, r0 < R)
 
-        def _step_body(qlen, tlen, acc, done, base_w, r, jrow):
+        base = stepbase(r0)
+
+        @pl.when(step_live)
+        def _run_step():
+            # ---- window slide between steps: roll state left, init refill
+            prev = stepbase(r0 - ROWS)
+            delta = jnp.where(r0 == 0, 0, base - prev)
+            lanes = jax.lax.broadcasted_iota(i32, (TB, Wb), 1)
+            for dl in range(16, MAX_DELTA + 1, 16):
+                @pl.when(delta == dl)
+                def _slide(dl=dl):
+                    hi = lanes >= Wb - dl
+
+                    def roll(ref, fill):
+                        ref[:] = jnp.where(hi, fill,
+                                           jnp.roll(ref[:], -dl, axis=1))
+
+                    roll(u_s, init_xy)
+                    roll(v_s, init_xy)
+                    roll(x_s, init_xy)
+                    roll(y_s, init_xy)
+                    roll(x2_s, init_xy2)
+                    roll(y2_s, init_xy2)
+                    roll(s_s, jnp.int8(0))
+                    roll(H_s, jnp.int32(NEG_INF))
+
             w = w_ref[:]
             zdrop = zdrop_ref[:]
-            # ---- window slide: roll state left by 16 when base_w advanced ----
-            slide = jnp.logical_and(r >= 1, base_w != basefn(r - 1))
+            t_abs = base + lanes
 
-            @pl.when(slide)
-            def _slide():
-                lane_hi = jax.lax.broadcasted_iota(i32, (TB, Wb), 1) >= Wb - 16
-
-                def roll16(ref, fill):
-                    ref[:] = jnp.where(lane_hi, fill,
-                                       jnp.roll(ref[:], -16, axis=1))
-
-                roll16(u_s, init_xy)
-                roll16(v_s, init_xy)
-                roll16(x_s, init_xy)
-                roll16(y_s, init_xy)
-                roll16(x2_s, init_xy2)
-                roll16(y2_s, init_xy2)
-                roll16(s_s, jnp.int8(0))
-                roll16(H_s, jnp.int32(NEG_INF))
-
-            lanes = jax.lax.broadcasted_iota(i32, (TB, Wb), 1)
-            t_abs = base_w + lanes
-
-            active = jnp.logical_and(done == 0, r < qlen + tlen - 1)
-            st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
-            en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
-            collapse = jnp.logical_and(active, st0 > en0)
-            zdr = acc[:, IDX["zdr"]:IDX["zdr"] + 1]
-            zdr = jnp.where(collapse, 1, zdr)
-            done = jnp.where(collapse, 1, done)
-            active = jnp.logical_and(active, jnp.logical_not(collapse))
-
-            st = st0 // 16 * 16
-            en = (en0 + 16) // 16 * 16 - 1
-
-            # row's own rounded start advanced this step (reference shift16)
-            if True:
-                st0p = jnp.maximum(jnp.maximum(0, (r - 1) - qlen + 1),
-                                   ((r - 1) - w + 1) >> 1)
-                stp = st0p // 16 * 16
-                shift16 = jnp.logical_and(active, jnp.logical_and(r >= 1, st > stp))
-                en0p = jnp.minimum(jnp.minimum(tlen - 1, r - 1), ((r - 1) + w) >> 1)
-                enp = (en0p + 16) // 16 * 16 - 1
-                in_prev = jnp.logical_and(st - 1 >= stp, st - 1 <= enp)
-                in_prev = jnp.logical_and(in_prev, r >= 1)
-
-            # boundary: natural left-neighbour value survives only on the exact
-            # jump step with st-1 inside the previous rounded window; otherwise
-            # the reference re-seeds with init (jax port lines 124-134)
-            use_nat = jnp.logical_and(shift16, in_prev)
-            at_st = jnp.logical_and(t_abs == st, active)
-            at0 = st == 0
-
-            # Mosaic vector arithmetic is i16/i32-only on this TPU: state is
-            # *stored* int8 but *computed* int16, with explicit wrap-to-int8
-            # (w8) at every point the SIMD oracle stores an int8 result.
-            def w8(a):
-                return a.astype(i8).astype(i32)
-
+            # ---- state into values (read scratch once per step) ----
             u = u_s[:].astype(i32)
             v = v_s[:].astype(i32)
             x = x_s[:].astype(i32)
@@ -191,19 +192,15 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
             y2 = y2_s[:].astype(i32)
             s = s_s[:].astype(i32)
             H = H_s[:]
+            acc = acc_s[:]
+            accv = {kk: acc[:, ii:ii + 1] for kk, ii in IDX.items()}
+            done = accv["done"]
+            zdr = accv["zdr"]
 
-            # ---- u[r]/y[r] boundary cell (t == r inside the rounded band) ----
-            has_r = jnp.logical_and(active, jnp.logical_and(en >= r, r >= st))
-            onehot_r = jnp.logical_and(has_r, t_abs == r)
-            ub = ubound(r)
-            y = jnp.where(onehot_r, jnp.int32(init_xy), y)
-            y2 = jnp.where(onehot_r, jnp.int32(init_xy2), y2)
-            u = jnp.where(onehot_r, ub, u)
-
-            # ---- score row over the covered chunk [st0, st0+16*floor+15] ----
-            # Mosaic requires 128-aligned dynamic lane offsets: load an aligned
-            # widened block and rotate left by the remainder (log-stage rotate,
-            # the shift amount is a traced scalar shared by the whole tile).
+            # ---- per-step query/target rows ----
+            # sfv is constant within the step; qv slides one lane per row:
+            # a pre-rotated 384-wide block makes each row's fill column a
+            # static slice
             def dyn_row(ref, off):
                 o_al = off // 128 * 128
                 rem = off - o_al
@@ -212,91 +209,316 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                 blk = pltpu.roll(blk, Wb + 128 - rem, axis=1)
                 return blk[:, :Wb]
 
-            o_q = QOFF - 1 - r + base_w
-            qv = dyn_row(qbuf_ref, o_q)
-            sfv = dyn_row(sf_ref, SOFF + base_w)
-            cover_last = st0 + (en0 - st0) // 16 * 16 + 15
-            s_mask = jnp.logical_and(
-                active, jnp.logical_and(t_abs >= st0, t_abs <= cover_last))
-            sc = jnp.where(
-                jnp.logical_or(sfv == 4, qv == 4),
-                jnp.int32(-e2 if sc_n is None else sc_n),
-                jnp.where(sfv == qv, jnp.int32(sc_mch), jnp.int32(sc_mis)),
-            )
-            s = jnp.where(s_mask, sc, s)
+            o_q0 = QOFF - 1 - r0 + base
+            qv = dyn_row(qbuf_ref, o_q0)
+            sfv = dyn_row(sf_ref, SOFF + base)
+            # fill block: columns o_q0 - j for j = 1..ROWS-1
+            QW = _round_up(ROWS + 256, 128)
+            o_f = o_q0 - ROWS
+            o_al = o_f // 128 * 128
+            rem = o_f - o_al
+            fblk = qbuf_ref[:, pl.ds(pl.multiple_of(o_al, 128), QW)]
+            fblk = fblk.astype(i32)
+            fblk = pltpu.roll(fblk, QW - rem, axis=1)
+            # column (o_q0 - j) now lives at static index ROWS - j
 
-            # ---- core recurrence over the rounded band [st, en] ----
-            band_mask = jnp.logical_and(active, jnp.logical_and(t_abs >= st,
-                                                                t_abs <= en))
-
-            def shl1(a, fill):
-                lane0 = lanes == 0
-                return jnp.where(lane0, fill, jnp.roll(a, 1, axis=1))
-
-            xt1 = shl1(x, jnp.int32(init_xy))
-            x2t1 = shl1(x2, jnp.int32(init_xy2))
-            vt1 = shl1(v, jnp.int32(init_xy))
-            xt1 = jnp.where(jnp.logical_and(at_st, jnp.logical_not(use_nat)),
-                            jnp.int32(init_xy), xt1)
-            x2t1 = jnp.where(jnp.logical_and(at_st, jnp.logical_not(use_nat)),
-                             jnp.int32(init_xy2), x2t1)
-            vt1 = jnp.where(jnp.logical_and(at_st, jnp.logical_not(use_nat)),
-                            jnp.int32(init_xy), vt1)
-            vt1 = jnp.where(jnp.logical_and(at_st, at0), ub, vt1)
-
-            z = s
-            a_ = w8(xt1 + vt1)
-            b_ = w8(y + u)
-            a2_ = w8(x2t1 + vt1)
-            b2_ = w8(y2 + u)
-            if not right_gaps:
-                d = jnp.where(a_ > z, 1, 0).astype(i32)
-                z = jnp.maximum(z, a_)
-                d = jnp.where(b_ > z, 2, d)
-                z = jnp.maximum(z, b_)
-                d = jnp.where(a2_ > z, 3, d)
-                z = jnp.maximum(z, a2_)
-                d = jnp.where(b2_ > z, 4, d)
-                z = jnp.maximum(z, b2_)
+            if W8_IDENTITY:
+                # every recurrence intermediate provably fits int8 for this
+                # scoring profile (static bound check below), so the
+                # wrap-to-int8 points are identities and computing directly
+                # in i32 is bit-exact (asserted by the parity suite)
+                w8 = lambda a: a
             else:
-                d = jnp.where(z > a_, 0, 1).astype(i32)
-                z = jnp.maximum(z, a_)
-                d = jnp.where(z > b_, d, 2)
-                z = jnp.maximum(z, b_)
-                d = jnp.where(z > a2_, d, 3)
-                z = jnp.maximum(z, a2_)
-                d = jnp.where(z > b2_, d, 4)
-                z = jnp.maximum(z, b2_)
-            z = jnp.minimum(z, jnp.int32(sc_mch))
-            u_new = w8(z - vt1)
-            v_new = w8(z - u)
-            zq = w8(z - q)
-            zq2 = w8(z - q2)
-            an = w8(a_ - zq)
-            bn = w8(b_ - zq)
-            a2n = w8(a2_ - zq2)
-            b2n = w8(b2_ - zq2)
-            if not right_gaps:
-                ax_, bx_, a2x_, b2x_ = an > 0, bn > 0, a2n > 0, b2n > 0
-            else:
-                ax_, bx_ = jnp.logical_not(0 > an), jnp.logical_not(0 > bn)
-                a2x_, b2x_ = jnp.logical_not(0 > a2n), jnp.logical_not(0 > b2n)
-            x_new = w8(jnp.where(ax_, an, 0) - qe)
-            y_new = w8(jnp.where(bx_, bn, 0) - qe)
-            x2_new = w8(jnp.where(a2x_, a2n, 0) - (q2 + e2))
-            y2_new = w8(jnp.where(b2x_, b2n, 0) - (q2 + e2))
-            d = d | jnp.where(ax_, 0x08, 0).astype(i32)
-            d = d | jnp.where(bx_, 0x10, 0).astype(i32)
-            d = d | jnp.where(a2x_, 0x20, 0).astype(i32)
-            d = d | jnp.where(b2x_, 0x40, 0).astype(i32)
+                # wide-gap profiles (e.g. asm5's O2=81) can push b2n past
+                # +127: reproduce the oracle's int8 wraps exactly
+                w8 = lambda a: a.astype(i8).astype(i32)
+            lane0 = lanes == 0
 
-            u = jnp.where(band_mask, u_new, u)
-            v = jnp.where(band_mask, v_new, v)
-            x = jnp.where(band_mask, x_new, x)
-            y = jnp.where(band_mask, y_new, y)
-            x2 = jnp.where(band_mask, x2_new, x2)
-            y2 = jnp.where(band_mask, y2_new, y2)
+            def lane_val(arr, pos):  # value at t == pos per row, masked reduce
+                return jnp.sum(jnp.where(t_abs == pos, arr, 0), axis=1,
+                               keepdims=True)
 
+            for j in range(ROWS):
+                r = r0 + j
+                if j > 0:
+                    colv = fblk[:, ROWS - j:ROWS - j + 1]
+                    qv = jnp.where(lane0, colv, jnp.roll(qv, 1, axis=1))
+
+                active = jnp.logical_and(done == 0, r < qlen + tlen - 1)
+                st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1),
+                                  (r - w + 1) >> 1)
+                en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
+                collapse = jnp.logical_and(active, st0 > en0)
+                zdr = jnp.where(collapse, 1, zdr)
+                done = jnp.where(collapse, 1, done)
+                active = jnp.logical_and(active, jnp.logical_not(collapse))
+
+                st = st0 // 16 * 16
+                en = (en0 + 16) // 16 * 16 - 1
+
+                # row's own rounded start advanced this row (ref shift16)
+                st0p = jnp.maximum(jnp.maximum(0, (r - 1) - qlen + 1),
+                                   ((r - 1) - w + 1) >> 1)
+                stp = st0p // 16 * 16
+                shift16 = jnp.logical_and(
+                    active, jnp.logical_and(r >= 1, st > stp))
+                en0p = jnp.minimum(jnp.minimum(tlen - 1, r - 1),
+                                   ((r - 1) + w) >> 1)
+                enp = (en0p + 16) // 16 * 16 - 1
+                in_prev = jnp.logical_and(st - 1 >= stp, st - 1 <= enp)
+                in_prev = jnp.logical_and(in_prev, r >= 1)
+                use_nat = jnp.logical_and(shift16, in_prev)
+                at_st = jnp.logical_and(t_abs == st, active)
+                at0 = st == 0
+
+                # ---- u[r]/y[r] boundary cell (t == r inside rounded band)
+                has_r = jnp.logical_and(
+                    active, jnp.logical_and(en >= r, r >= st))
+                onehot_r = jnp.logical_and(has_r, t_abs == r)
+                ub = ubound(r)
+                y = jnp.where(onehot_r, jnp.int32(init_xy), y)
+                y2 = jnp.where(onehot_r, jnp.int32(init_xy2), y2)
+                u = jnp.where(onehot_r, ub, u)
+
+                # ---- score row over the covered chunk ----
+                cover_last = st0 + (en0 - st0) // 16 * 16 + 15
+                s_mask = jnp.logical_and(
+                    active, jnp.logical_and(t_abs >= st0,
+                                            t_abs <= cover_last))
+                sc = jnp.where(
+                    jnp.logical_or(sfv == 4, qv == 4),
+                    jnp.int32(-e2 if sc_n is None else sc_n),
+                    jnp.where(sfv == qv, jnp.int32(sc_mch),
+                              jnp.int32(sc_mis)),
+                )
+                s = jnp.where(s_mask, sc, s)
+
+                # ---- core recurrence over the rounded band [st, en] ----
+                band_mask = jnp.logical_and(
+                    active, jnp.logical_and(t_abs >= st, t_abs <= en))
+
+                def shl1(a, fill):
+                    return jnp.where(lane0, fill, jnp.roll(a, 1, axis=1))
+
+                xt1 = shl1(x, jnp.int32(init_xy))
+                x2t1 = shl1(x2, jnp.int32(init_xy2))
+                vt1 = shl1(v, jnp.int32(init_xy))
+                no_nat = jnp.logical_and(at_st, jnp.logical_not(use_nat))
+                xt1 = jnp.where(no_nat, jnp.int32(init_xy), xt1)
+                x2t1 = jnp.where(no_nat, jnp.int32(init_xy2), x2t1)
+                vt1 = jnp.where(no_nat, jnp.int32(init_xy), vt1)
+                vt1 = jnp.where(jnp.logical_and(at_st, at0), ub, vt1)
+
+                z = s
+                a_ = w8(xt1 + vt1)
+                b_ = w8(y + u)
+                a2_ = w8(x2t1 + vt1)
+                b2_ = w8(y2 + u)
+                if not with_cigar:
+                    z = jnp.maximum(z, a_)
+                    z = jnp.maximum(z, b_)
+                    z = jnp.maximum(z, a2_)
+                    z = jnp.maximum(z, b2_)
+                    d = None
+                elif not right_gaps:
+                    d = jnp.where(a_ > z, 1, 0).astype(i32)
+                    z = jnp.maximum(z, a_)
+                    d = jnp.where(b_ > z, 2, d)
+                    z = jnp.maximum(z, b_)
+                    d = jnp.where(a2_ > z, 3, d)
+                    z = jnp.maximum(z, a2_)
+                    d = jnp.where(b2_ > z, 4, d)
+                    z = jnp.maximum(z, b2_)
+                else:
+                    d = jnp.where(z > a_, 0, 1).astype(i32)
+                    z = jnp.maximum(z, a_)
+                    d = jnp.where(z > b_, d, 2)
+                    z = jnp.maximum(z, b_)
+                    d = jnp.where(z > a2_, d, 3)
+                    z = jnp.maximum(z, a2_)
+                    d = jnp.where(z > b2_, d, 4)
+                    z = jnp.maximum(z, b2_)
+                z = jnp.minimum(z, jnp.int32(sc_mch))
+                u_new = w8(z - vt1)
+                v_new = w8(z - u)
+                zq = w8(z - q)
+                zq2 = w8(z - q2)
+                an = w8(a_ - zq)
+                bn = w8(b_ - zq)
+                a2n = w8(a2_ - zq2)
+                b2n = w8(b2_ - zq2)
+                if not right_gaps:
+                    ax_, bx_, a2x_, b2x_ = an > 0, bn > 0, a2n > 0, b2n > 0
+                else:
+                    ax_ = jnp.logical_not(0 > an)
+                    bx_ = jnp.logical_not(0 > bn)
+                    a2x_ = jnp.logical_not(0 > a2n)
+                    b2x_ = jnp.logical_not(0 > b2n)
+                x_new = w8(jnp.where(ax_, an, 0) - qe)
+                y_new = w8(jnp.where(bx_, bn, 0) - qe)
+                x2_new = w8(jnp.where(a2x_, a2n, 0) - (q2 + e2))
+                y2_new = w8(jnp.where(b2x_, b2n, 0) - (q2 + e2))
+                if with_cigar:
+                    d = d | jnp.where(ax_, 0x08, 0).astype(i32)
+                    d = d | jnp.where(bx_, 0x10, 0).astype(i32)
+                    d = d | jnp.where(a2x_, 0x20, 0).astype(i32)
+                    d = d | jnp.where(b2x_, 0x40, 0).astype(i32)
+
+                u = jnp.where(band_mask, u_new, u)
+                v = jnp.where(band_mask, v_new, v)
+                x = jnp.where(band_mask, x_new, x)
+                y = jnp.where(band_mask, y_new, y)
+                x2 = jnp.where(band_mask, x2_new, x2)
+                y2 = jnp.where(band_mask, y2_new, y2)
+
+                if with_cigar:
+                    dirs_ref[j, :, :] = jnp.where(band_mask, d, 0).astype(u8)
+
+                mx = accv["mx"]
+                max_q = accv["max_q"]
+                max_t = accv["max_t"]
+                score = accv["score"]
+
+                if not approx_max:
+                    mqe = accv["mqe"]
+                    mqe_t = accv["mqe_t"]
+                    mte = accv["mte"]
+                    mte_q = accv["mte_q"]
+                    H_en0_prev = lane_val(H, en0)
+                    H_en0m1_prev = lane_val(H, en0 - 1)
+                    u_en0 = lane_val(u, en0)
+                    v_en0 = lane_val(v, en0)
+                    Hen0_new = jnp.where(en0 >= 1, H_en0m1_prev + u_en0,
+                                         H_en0_prev + v_en0)
+                    upd_mask = jnp.logical_and(t_abs >= st0, t_abs < en0)
+                    H_upd = jnp.where(upd_mask, H + v, H)
+                    H_upd = jnp.where(t_abs == en0, Hen0_new, H_upd)
+                    H_r0 = jnp.where(t_abs == 0, v - qe, H)
+                    H_new = jnp.where(r == 0, H_r0, H_upd)
+                    H = jnp.where(active, H_new, H)
+
+                    en1 = st0 + (en0 - st0) // 4 * 4
+                    p_rel = t_abs - st0
+                    in_str = jnp.logical_and(t_abs >= st0, t_abs < en1)
+                    in_tail = jnp.logical_and(t_abs >= en1, t_abs < en0)
+                    rank = jnp.where(
+                        t_abs == en0, 0,
+                        jnp.where(
+                            in_str,
+                            1 + (p_rel & 3) * S_STRIDE + (p_rel >> 2),
+                            jnp.where(in_tail,
+                                      1 + 4 * S_STRIDE + (t_abs - en1),
+                                      16383)))
+                    valid = jnp.logical_and(rank < 16383, active)
+                    Hc = jnp.maximum(H, H_CLAMP)
+                    K = jnp.where(valid, Hc * 16384 + (16383 - rank),
+                                  jnp.int32(-0x7FFFFFFF))
+                    Kmax = jnp.max(K, axis=1, keepdims=True)
+                    max_H = jax.lax.shift_right_arithmetic(Kmax, 14)
+                    max_tv = jnp.sum(jnp.where(K == Kmax, t_abs, 0), axis=1,
+                                     keepdims=True)
+                    max_H = jnp.where(r == 0, lane_val(H, 0), max_H)
+                    max_tv = jnp.where(r == 0, 0, max_tv)
+
+                    H_en0_now = jnp.where(r == 0, lane_val(H, en0), Hen0_new)
+                    H_st0_now = lane_val(H, st0)
+                    mte_upd = jnp.logical_and(
+                        active, jnp.logical_and(en0 == tlen - 1,
+                                                H_en0_now > mte))
+                    mte = jnp.where(mte_upd, H_en0_now, mte)
+                    mte_q = jnp.where(mte_upd, r - en, mte_q)
+                    mqe_upd = jnp.logical_and(
+                        active, jnp.logical_and(r - st0 == qlen - 1,
+                                                H_st0_now > mqe))
+                    mqe = jnp.where(mqe_upd, H_st0_now, mqe)
+                    mqe_t = jnp.where(mqe_upd, st0, mqe_t)
+
+                    better = max_H > mx
+                    mx_n = jnp.where(better, max_H, mx)
+                    max_t_n = jnp.where(better, max_tv, max_t)
+                    max_q_n = jnp.where(better, r - max_tv, max_q)
+                    inquad = jnp.logical_and(
+                        jnp.logical_not(better),
+                        jnp.logical_and(max_tv >= max_t,
+                                        r - max_tv >= max_q))
+                    ldiff = jnp.abs((max_tv - max_t) - ((r - max_tv) - max_q))
+                    dropped = jnp.logical_and(
+                        jnp.logical_and(inquad, zdrop >= 0),
+                        mx - max_H > zdrop + ldiff * e2)
+                    dropped = jnp.logical_and(active, dropped)
+                    zdr = jnp.where(dropped, 1, zdr)
+                    done = jnp.where(dropped, 1, done)
+                    mx = jnp.where(active, mx_n, mx)
+                    max_t = jnp.where(active, max_t_n, max_t)
+                    max_q = jnp.where(active, max_q_n, max_q)
+
+                    fin = jnp.logical_and(
+                        jnp.logical_and(active, jnp.logical_not(dropped)),
+                        jnp.logical_and(r == qlen + tlen - 2,
+                                        en0 == tlen - 1))
+                    score = jnp.where(fin, H_en0_now, score)
+                    accv["mqe"] = mqe
+                    accv["mqe_t"] = mqe_t
+                    accv["mte"] = mte
+                    accv["mte_q"] = mte_q
+                else:
+                    H0 = accv["H0"]
+                    lH0t = accv["lH0t"]
+                    d0 = lane_val(v, lH0t)
+                    d1 = lane_val(u, lH0t + 1)
+                    both_in = jnp.logical_and(
+                        jnp.logical_and(lH0t >= st0, lH0t <= en0),
+                        jnp.logical_and(lH0t + 1 >= st0, lH0t + 1 <= en0))
+                    only_cur = jnp.logical_and(lH0t >= st0, lH0t <= en0)
+                    H0_new = jnp.where(
+                        both_in, H0 + jnp.maximum(d0, d1),
+                        jnp.where(only_cur, H0 + d0, H0 + d1))
+                    lH0t_new = jnp.where(
+                        jnp.logical_and(both_in, d1 > d0), lH0t + 1,
+                        jnp.where(only_cur, lH0t, lH0t + 1))
+                    H0_new = jnp.where(r == 0, lane_val(v, 0) - qe, H0_new)
+                    lH0t_new = jnp.where(r == 0, 0, lH0t_new)
+                    H0 = jnp.where(active, H0_new, H0)
+                    lH0t = jnp.where(active, lH0t_new, lH0t)
+                    if approx_drop:
+                        # the oracle applies the z-drop/max bookkeeping only
+                        # for r > 0 (wm_ksw.cpp approx branch: apply_zdrop
+                        # sits inside `if (r > 0)`), so H0(0) never feeds
+                        # ez->max -- replicate exactly
+                        app = jnp.logical_and(active, r >= 1)
+                        better = H0 > mx
+                        mx_n = jnp.where(better, H0, mx)
+                        mt_n = jnp.where(better, lH0t, max_t)
+                        mq_n = jnp.where(better, r - lH0t, max_q)
+                        inquad = jnp.logical_and(
+                            jnp.logical_not(better),
+                            jnp.logical_and(lH0t >= max_t,
+                                            r - lH0t >= max_q))
+                        ldiff = jnp.abs((lH0t - max_t) - ((r - lH0t) - max_q))
+                        dropped = jnp.logical_and(
+                            jnp.logical_and(jnp.logical_and(app, inquad),
+                                            zdrop >= 0),
+                            mx - H0 > zdrop + ldiff * e2)
+                        zdr = jnp.where(dropped, 1, zdr)
+                        done = jnp.where(dropped, 1, done)
+                        mx = jnp.where(app, mx_n, mx)
+                        max_t = jnp.where(app, mt_n, max_t)
+                        max_q = jnp.where(app, mq_n, max_q)
+                    fin = jnp.logical_and(
+                        active, jnp.logical_and(r == qlen + tlen - 2,
+                                                en0 == tlen - 1))
+                    score = jnp.where(fin, H0, score)
+                    accv["H0"] = H0
+                    accv["lH0t"] = lH0t
+
+                accv["mx"] = mx
+                accv["max_q"] = max_q
+                accv["max_t"] = max_t
+                accv["score"] = score
+                accv["zdr"] = zdr
+                accv["done"] = done
+
+            # ---- write state back (once per step) ----
             u_s[:] = u.astype(i8)
             v_s[:] = v.astype(i8)
             x_s[:] = x.astype(i8)
@@ -304,167 +526,14 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
             x2_s[:] = x2.astype(i8)
             y2_s[:] = y2.astype(i8)
             s_s[:] = s.astype(i8)
-
-            if with_cigar:
-                dirs_ref[jrow, :, :] = jnp.where(band_mask, d, 0).astype(u8)
-
-            def lane_val(arr, pos):  # value at t == pos per row, one masked reduce
-                return jnp.sum(jnp.where(t_abs == pos, arr, 0), axis=1,
-                               keepdims=True)
-
-            mx = acc[:, IDX["mx"]:IDX["mx"] + 1]
-            max_q = acc[:, IDX["max_q"]:IDX["max_q"] + 1]
-            max_t = acc[:, IDX["max_t"]:IDX["max_t"] + 1]
-            score = acc[:, IDX["score"]:IDX["score"] + 1]
-
             if not approx_max:
-                mqe = acc[:, IDX["mqe"]:IDX["mqe"] + 1]
-                mqe_t = acc[:, IDX["mqe_t"]:IDX["mqe_t"] + 1]
-                mte = acc[:, IDX["mte"]:IDX["mte"] + 1]
-                mte_q = acc[:, IDX["mte_q"]:IDX["mte_q"] + 1]
-                vi = v
-                ui = u
-                H_en0_prev = lane_val(H, en0)
-                H_en0m1_prev = lane_val(H, en0 - 1)
-                u_en0 = lane_val(ui, en0)
-                v_en0 = lane_val(vi, en0)
-                Hen0_new = jnp.where(en0 >= 1, H_en0m1_prev + u_en0,
-                                     H_en0_prev + v_en0)
-                upd_mask = jnp.logical_and(t_abs >= st0, t_abs < en0)
-                H_upd = jnp.where(upd_mask, H + vi, H)
-                H_upd = jnp.where(t_abs == en0, Hen0_new, H_upd)
-                H_r0 = jnp.where(t_abs == 0, vi - qe, H)
-                H_new = jnp.where(r == 0, H_r0, H_upd)
-                H = jnp.where(active, H_new, H)
                 H_s[:] = H
-
-                # row max with the reference's 4-lane-strided tie order, packed
-                # as K = H*4096 + (4095 - rank) so one max-reduce finds the exact
-                # SSE winner (rank 0 = the en0 seed, then stride 0..3 by t, tail)
-                en1 = st0 + (en0 - st0) // 4 * 4
-                p_rel = t_abs - st0
-                in_str = jnp.logical_and(t_abs >= st0, t_abs < en1)
-                in_tail = jnp.logical_and(t_abs >= en1, t_abs < en0)
-                rank = jnp.where(
-                    t_abs == en0, 0,
-                    jnp.where(in_str, 1 + (p_rel & 3) * S_STRIDE + (p_rel >> 2),
-                              jnp.where(in_tail, 1 + 4 * S_STRIDE + (t_abs - en1),
-                                        16383)))
-                valid = jnp.logical_and(rank < 16383, active)
-                Hc = jnp.maximum(H, H_CLAMP)
-                K = jnp.where(valid, Hc * 16384 + (16383 - rank),
-                              jnp.int32(-0x7FFFFFFF))
-                Kmax = jnp.max(K, axis=1, keepdims=True)
-                max_H = jax.lax.shift_right_arithmetic(Kmax, 14)
-                max_tv = jnp.sum(jnp.where(K == Kmax, t_abs, 0), axis=1,
-                                 keepdims=True)
-                max_H = jnp.where(r == 0, lane_val(H, 0), max_H)
-                max_tv = jnp.where(r == 0, 0, max_tv)
-
-                H_en0_now = jnp.where(r == 0, lane_val(H, en0), Hen0_new)
-                H_st0_now = lane_val(H, st0)
-                mte_upd = jnp.logical_and(
-                    active, jnp.logical_and(en0 == tlen - 1, H_en0_now > mte))
-                mte = jnp.where(mte_upd, H_en0_now, mte)
-                mte_q = jnp.where(mte_upd, r - en, mte_q)
-                mqe_upd = jnp.logical_and(
-                    active, jnp.logical_and(r - st0 == qlen - 1,
-                                            H_st0_now > mqe))
-                mqe = jnp.where(mqe_upd, H_st0_now, mqe)
-                mqe_t = jnp.where(mqe_upd, st0, mqe_t)
-
-                better = max_H > mx
-                mx_n = jnp.where(better, max_H, mx)
-                max_t_n = jnp.where(better, max_tv, max_t)
-                max_q_n = jnp.where(better, r - max_tv, max_q)
-                inquad = jnp.logical_and(
-                    jnp.logical_not(better),
-                    jnp.logical_and(max_tv >= max_t, r - max_tv >= max_q))
-                ldiff = jnp.abs((max_tv - max_t) - ((r - max_tv) - max_q))
-                dropped = jnp.logical_and(
-                    jnp.logical_and(inquad, zdrop >= 0),
-                    mx - max_H > zdrop + ldiff * e2)
-                dropped = jnp.logical_and(active, dropped)
-                zdr = jnp.where(dropped, 1, zdr)
-                done = jnp.where(dropped, 1, done)
-                mx = jnp.where(active, mx_n, mx)
-                max_t = jnp.where(active, max_t_n, max_t)
-                max_q = jnp.where(active, max_q_n, max_q)
-
-                fin = jnp.logical_and(
-                    jnp.logical_and(active, jnp.logical_not(dropped)),
-                    jnp.logical_and(r == qlen + tlen - 2, en0 == tlen - 1))
-                score = jnp.where(fin, H_en0_now, score)
-                H0 = acc[:, IDX["H0"]:IDX["H0"] + 1]
-                lH0t = acc[:, IDX["lH0t"]:IDX["lH0t"] + 1]
-            else:
-                mqe = acc[:, IDX["mqe"]:IDX["mqe"] + 1]
-                mqe_t = acc[:, IDX["mqe_t"]:IDX["mqe_t"] + 1]
-                mte = acc[:, IDX["mte"]:IDX["mte"] + 1]
-                mte_q = acc[:, IDX["mte_q"]:IDX["mte_q"] + 1]
-                H0 = acc[:, IDX["H0"]:IDX["H0"] + 1]
-                lH0t = acc[:, IDX["lH0t"]:IDX["lH0t"] + 1]
-                vi = v
-                ui = u
-                d0 = lane_val(vi, lH0t)
-                d1 = lane_val(ui, lH0t + 1)
-                both_in = jnp.logical_and(
-                    jnp.logical_and(lH0t >= st0, lH0t <= en0),
-                    jnp.logical_and(lH0t + 1 >= st0, lH0t + 1 <= en0))
-                only_cur = jnp.logical_and(lH0t >= st0, lH0t <= en0)
-                H0_new = jnp.where(
-                    both_in, H0 + jnp.maximum(d0, d1),
-                    jnp.where(only_cur, H0 + d0, H0 + d1))
-                lH0t_new = jnp.where(
-                    jnp.logical_and(both_in, d1 > d0), lH0t + 1,
-                    jnp.where(only_cur, lH0t, lH0t + 1))
-                H0_new = jnp.where(r == 0, lane_val(vi, 0) - qe, H0_new)
-                lH0t_new = jnp.where(r == 0, 0, lH0t_new)
-                H0 = jnp.where(active, H0_new, H0)
-                lH0t = jnp.where(active, lH0t_new, lH0t)
-                if approx_drop:
-                    better = H0 > mx
-                    mx_n = jnp.where(better, H0, mx)
-                    mt_n = jnp.where(better, lH0t, max_t)
-                    mq_n = jnp.where(better, r - lH0t, max_q)
-                    inquad = jnp.logical_and(
-                        jnp.logical_not(better),
-                        jnp.logical_and(lH0t >= max_t, r - lH0t >= max_q))
-                    ldiff = jnp.abs((lH0t - max_t) - ((r - lH0t) - max_q))
-                    dropped = jnp.logical_and(
-                        jnp.logical_and(jnp.logical_and(active, inquad),
-                                        zdrop >= 0),
-                        mx - H0 > zdrop + ldiff * e2)
-                    zdr = jnp.where(dropped, 1, zdr)
-                    done = jnp.where(dropped, 1, done)
-                    mx = jnp.where(active, mx_n, mx)
-                    max_t = jnp.where(active, mt_n, max_t)
-                    max_q = jnp.where(active, mq_n, max_q)
-                fin = jnp.logical_and(
-                    active, jnp.logical_and(r == qlen + tlen - 2,
-                                            en0 == tlen - 1))
-                score = jnp.where(fin, H0, score)
-
             pad = jnp.zeros((TB, 4), i32)
             acc_s[:] = jnp.concatenate(
-                [mx, zdr.astype(i32), max_q, max_t, mqe, mqe_t, mte, mte_q,
-                 score, H0, lH0t, done.astype(i32), pad], axis=1)
-
-        # ROWS consecutive anti-diagonals per grid step: amortises the
-        # per-step scheduling overhead; each sub-row re-reads scratch so the
-        # recurrence is identical to the one-row-per-step formulation
-        for j in range(ROWS):
-            rj = r + j
-            acc = acc_s[:]
-            done = acc[:, IDX["done"]:IDX["done"] + 1]
-            inact = jnp.logical_or(done >= 1, rj >= qlen + tlen - 1)
-            live = jnp.logical_not(jnp.all(inact))
-            if ROWS > 1:
-                live = jnp.logical_and(live, rj < R)
-
-            @pl.when(live)
-            def _step(rj=rj, acc=acc, done=done, j=j):
-                _step_body(qlen, tlen, acc, done, basefn(rj), rj, j)
+                [accv["mx"], accv["zdr"].astype(i32), accv["max_q"],
+                 accv["max_t"], accv["mqe"], accv["mqe_t"], accv["mte"],
+                 accv["mte_q"], accv["score"], accv["H0"], accv["lH0t"],
+                 accv["done"].astype(i32), pad], axis=1)
 
         @pl.when(k_step == (R + ROWS - 1) // ROWS - 1)
         def _out():
@@ -476,7 +545,7 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
 @functools.lru_cache(maxsize=512)
 def _compiled_extd_pallas(B, TB, Lq, Lt, R, Wb, q, e, q2, e2, W_MAX,
                           approx_max, right_gaps, with_cigar, approx_drop,
-                          sc_mch, sc_mis, sc_n, ROWS=1):
+                          sc_mch, sc_mis, sc_n, ROWS=32):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -570,7 +639,7 @@ def extd_pallas(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop, end_bonus, flag,
     Lt = int(max(1, tlen.max()))
     R = Lq + Lt - 1
     n_col = min(min(Lq, Lt), w + 1)
-    Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32, 128)
+    Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32 + _EXTD_ROWS, 128)
     B = _round_up(B0, TB)
 
     mat = np.asarray(mat, np.int8)
@@ -583,7 +652,7 @@ def extd_pallas(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop, end_bonus, flag,
     run, (WQ, WT, QOFF, SOFF) = _compiled_extd_pallas(
         B, TB, Lq, Lt, R, Wb, q, e, q2, e2, w, approx_max, right_gaps,
         with_cigar, approx_drop, int(mat[0]), int(mat[1]), sc_n,
-        ROWS=_EXTD_ROWS)
+        ROWS=extd_rows(Wb))
 
     qbuf = np.zeros((B, WQ), np.uint8)
     sfbuf = np.zeros((B, WT), np.uint8)
@@ -614,7 +683,8 @@ def extd_pallas(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop, end_bonus, flag,
         # window base and per-row rounded band bounds are pure functions of
         # (r, qlen, tlen, w) -- recomputed on host for the backtracker
         rr = np.arange(R, dtype=np.int64)
-        st0c = np.maximum(np.maximum(0, rr - Lq + 1), (rr - w + 1) >> 1)
+        r0b = rr // extd_rows(Wb) * extd_rows(Wb)  # step-window base
+        st0c = np.maximum(np.maximum(0, r0b - Lq + 1), (r0b - w + 1) >> 1)
         result.base = (st0c // 16 * 16 - 16).astype(np.int32)
         ql = qlen.astype(np.int64)[:, None]
         tl = tlen.astype(np.int64)[:, None]
@@ -631,7 +701,7 @@ TB_KTB = 8  # anti-diagonals walked per traceback grid step
 
 
 @functools.lru_cache(maxsize=512)
-def _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=None):
+def _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=None, BROWS=1):
     """Device traceback: all alignments of a batch walk the direction tensor
     in lockstep over descending anti-diagonals (reference ksw_backtrack,
     src/ksw2.h:119-151 semantics incl. the force-state band clamp).  Each
@@ -693,8 +763,11 @@ def _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=None):
             en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + w) >> 1)
             st = st0 // 16 * 16
             en = (en0 + 16) // 16 * 16 - 1
-            st0c = jnp.maximum(jnp.maximum(0, r - Lq + 1),
-                               (r - W_MAX + 1) >> 1)
+            # window base matches the DP kernel's granularity: per-row for
+            # extz (BROWS=1), per-ROWS-step for the extd step-window kernel
+            r0b = (r // BROWS) * BROWS
+            st0c = jnp.maximum(jnp.maximum(0, r0b - Lq + 1),
+                               (r0b - W_MAX + 1) >> 1)
             base = st0c // 16 * 16 - 16
             row = dirs_ref[KTB - 1 - jr, :, :].astype(i32)
             d = jnp.sum(jnp.where(lanes == i - base, row, 0), axis=1,
@@ -800,14 +873,15 @@ def _rle_cigar(ops_col, i_fin, j_fin, rev_cigar):
 
 
 def traceback_batch(dirs_dev, qlen, tlen, w, Lq, i0, j0, rev_cigar,
-                    TB=32, W_MAX=None):
+                    TB=32, W_MAX=None, BROWS=None):
     """Run the device traceback for a whole DP batch; returns a list of
     BAM-packed CIGARs (empty array where i0/j0 < 0)."""
     RD, B, Wb = dirs_dev.shape
     R = RD
     B0 = len(qlen)
     W_MAX = W_MAX or (w if np.isscalar(w) else int(np.max(w)))
-    run = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=RD)
+    run = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=RD,
+                              BROWS=BROWS if BROWS else extd_rows(Wb))
 
     def col(v, fill):
         a = np.full((B, 1), fill, np.int32)
@@ -869,9 +943,21 @@ class DevExtResult:
 _LEN_STEPS = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144,
               8192, 12288, 16384, 24576, 32768, 65536)
 
-# anti-diagonals processed per extd grid step (amortises per-step overhead;
-# results are bit-identical for any value; 2 measures ~8% faster at TB=64)
-_EXTD_ROWS = 2
+# anti-diagonals processed per extd grid step; the step-window kernel holds
+# all band state in values across the step (scratch read/written once), so
+# large values amortise both grid overhead and state traffic.  Results are
+# bit-identical for any value.  Wide bands shrink ROWS so the VMEM working
+# set (state values + the (ROWS, TB, Wb) dirs block) stays under the 16 MB
+# scoped-vmem limit.
+_EXTD_ROWS = 32
+
+
+def extd_rows(Wb: int) -> int:
+    if Wb <= 768:
+        return 32
+    if Wb <= 1536:
+        return 16
+    return 8
 
 
 def quantize_len(n: int, _bisect=__import__("bisect").bisect_left) -> int:
@@ -939,7 +1025,11 @@ class DevCall:
         R = Lq + Lt - 1
         W_MAX = quantize_len(int(w.max()))
         n_col = min(min(Lq, Lt), W_MAX + 1)
-        Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32, 128)
+        Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32 + _EXTD_ROWS, 128)
+        if Wb > 2048:
+            # wide bands: halve the tile so the step-window kernel's
+            # value working set stays inside the 16 MB scoped VMEM
+            TB = min(TB, 32)
         B = quantize_batch(_round_up(B0, TB))
 
         mat = np.asarray(mat, np.int8)
@@ -956,7 +1046,7 @@ class DevCall:
         run, (WQ, WT, QOFF, SOFF) = _compiled_extd_pallas(
             B, TB, Lq, Lt, R, Wb, q, e, q2, e2, W_MAX, approx_max,
             right_gaps, self.with_cigar, approx_drop, int(mat[0]),
-            int(mat[1]), sc_n, ROWS=_EXTD_ROWS)
+            int(mat[1]), sc_n, ROWS=extd_rows(Wb))
 
         qbuf = np.zeros((B, WQ), np.uint8)
         sfbuf = np.zeros((B, WT), np.uint8)
@@ -981,7 +1071,8 @@ class DevCall:
             i0, j0 = _compiled_select_starts(self.extz_only)(
                 out[0], qlen_a, tlen_a, eb)
             tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX,
-                                     RD=out[1].shape[0])
+                                     RD=out[1].shape[0],
+                                     BROWS=extd_rows(Wb))
             self.ops_dev, self.fin_dev = tb(out[1], qlen_a, tlen_a, i0, j0,
                                             w_a)
 
@@ -1163,7 +1254,11 @@ class DevCallPooled:
             W_MAX = quantize_len(int(ws.max()))
         R = Lq + Lt - 1
         n_col = min(min(Lq, Lt), W_MAX + 1)
-        Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32, 128)
+        Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32 + _EXTD_ROWS, 128)
+        if Wb > 2048:
+            # wide bands: halve the tile so the step-window kernel's
+            # value working set stays inside the 16 MB scoped VMEM
+            TB = min(TB, 32)
         B = quantize_batch(_round_up(B0, TB))
 
         mat = np.asarray(mat, np.int8)
@@ -1190,7 +1285,7 @@ class DevCallPooled:
             run, (WQ, WT, QOFF, SOFF) = _compiled_extd_pallas(
                 B, TB, Lq, Lt, R, Wb, q, e, q2, e2, W_MAX, approx_max,
                 right_gaps, self.with_cigar, approx_drop, int(mat[0]),
-                int(mat[1]), sc_n, ROWS=_EXTD_ROWS)
+                int(mat[1]), sc_n, ROWS=extd_rows(Wb))
 
         # affine descriptor per job: value(c) = pool[a + sgn*c] inside the
         # masked window (see module docstring for the layout derivation)
@@ -1231,7 +1326,8 @@ class DevCallPooled:
             i0, j0 = _compiled_select_starts(self.extz_only)(
                 out[0], qlen_a, tlen_a, eb)
             tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX,
-                                     RD=out[1].shape[0])
+                                     RD=out[1].shape[0],
+                                     BROWS=1 if is_extz else extd_rows(Wb))
             ops, fin = tb(out[1], qlen_a, tlen_a, i0, j0, w_a)
             self.pack_cols = (R + 3) // 4  # fixed per shape: one variant
             self.out_dev = _compiled_fuse_out(self.pack_cols)(out[0], fin,
@@ -1620,6 +1716,8 @@ def _build_extz_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, W_MAX,
                 H0 = jnp.where(active, H0_new, H0)
                 lH0t = jnp.where(active, lH0t_new, lH0t)
                 if approx_drop:
+                    # oracle parity: apply only for r > 0 (see extd note)
+                    app = jnp.logical_and(active, r >= 1)
                     better = H0 > mx
                     mx_n = jnp.where(better, H0, mx)
                     mt_n = jnp.where(better, lH0t, max_t)
@@ -1629,14 +1727,14 @@ def _build_extz_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, W_MAX,
                         jnp.logical_and(lH0t >= max_t, r - lH0t >= max_q))
                     ldiff = jnp.abs((lH0t - max_t) - ((r - lH0t) - max_q))
                     dropped = jnp.logical_and(
-                        jnp.logical_and(jnp.logical_and(active, inquad),
+                        jnp.logical_and(jnp.logical_and(app, inquad),
                                         zdrop >= 0),
                         mx - H0 > zdrop + ldiff * e)
                     zdr = jnp.where(dropped, 1, zdr)
                     done = jnp.where(dropped, 1, done)
-                    mx = jnp.where(active, mx_n, mx)
-                    max_t = jnp.where(active, mt_n, max_t)
-                    max_q = jnp.where(active, mq_n, max_q)
+                    mx = jnp.where(app, mx_n, mx)
+                    max_t = jnp.where(app, mt_n, max_t)
+                    max_q = jnp.where(app, mq_n, max_q)
                 fin = jnp.logical_and(
                     active, jnp.logical_and(r == qlen + tlen - 2,
                                             en0 == tlen - 1))

@@ -210,12 +210,25 @@ def build_index(
     for rid, rec in enumerate(records):
         mi.seqs.append(SeqMeta(rec.name, total, len(rec.seq)))
         total += len(rec.seq)
+    import os
+
+    # genome-scale sketching routes through the device kernel (murmur,
+    # membership, k-mer roll on the TPU -- sketch/device.py) when a device
+    # is present; the native oracle is the fallback and the differential
+    # (identical output, tests/test_sketch.py::test_device_sketch_parity)
+    use_dev = (os.environ.get("WM_NO_TPU", "") == ""
+               and os.environ.get("WM_NO_DEV_SKETCH", "") == ""
+               and total >= 1_000_000)
+    if use_dev:
+        from ..sketch.device import sketch_device as _sketch
+    else:
+        _sketch = native.sketch
     codes = np.empty(total, dtype=np.uint8)
     for rid, rec in enumerate(records):
         s = mi.seqs[rid]
         codes[s.offset : s.offset + s.length] = encode(rec.seq)
         if s.length > 0:
-            x, y = native.sketch(rec.seq, w, k, rid, is_hpc, mi.wset)
+            x, y = _sketch(rec.seq, w, k, rid, is_hpc, mi.wset)
             xs.append(x)
             ys.append(y)
     mi.codes = codes

@@ -256,15 +256,15 @@ class MapEngine:
             pending.clear()
             did = False
             for gk, rs in groups.items():
-                if len(rs) >= MIN_MERGED_BATCH:
-                    rows = np.stack(rs)
-                    STATS["dev_merged"] += len(rs)
-                    inflight.append(self._dispatch(
-                        gk[0], gk[1], gk[2], rows,
-                        shape_override=(gk[3], gk[3], gk[4])))
-                    did = True
-                else:
-                    leftovers.extend(rs)
+                # merged fixed-shape calls are cheap (bounded variant space,
+                # one ~27ms call) while straggler DP on the single host core
+                # costs ~10ms/job -- dispatch every group
+                rows = np.stack(rs)
+                STATS["dev_merged"] += len(rs)
+                inflight.append(self._dispatch(
+                    gk[0], gk[1], gk[2], rows,
+                    shape_override=(gk[3], gk[3], gk[4])))
+                did = True
             for key, rs in big.items():
                 # exact bucket-key shape: same variant space as full buckets
                 rows = np.stack(rs)

@@ -207,6 +207,16 @@ def lib() -> ctypes.CDLL:
         L.wm_batch_n.restype = ctypes.c_int64
         L.wm_batch_free.argtypes = [ctypes.c_void_p]
 
+        L.wm_winnow.argtypes = [
+            ctypes.c_int64, u8p, u64p, u8p, u8p,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint32, ctypes.c_int,
+            ctypes.POINTER(pu64), ctypes.POINTER(pu64),
+        ]
+        L.wm_winnow.restype = ctypes.c_int64
+
         # ---- mapping engine (wm_engine.cpp) ----
         L.wm_eng_create.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p, ctypes.c_void_p,
@@ -420,6 +430,31 @@ def sketch(seq: bytes, w: int, k: int, rid: int, is_hpc: bool,
     py = ctypes.POINTER(ctypes.c_uint64)()
     n = L.wm_sketch(seq, len(seq), w, k, rid, int(is_hpc), wset, len(wset),
                     ctypes.byref(px), ctypes.byref(py))
+    if n == 0:
+        return _EMPTY_U64, _EMPTY_U64
+    x = np.ctypeslib.as_array(px, (n,)).copy()
+    y = np.ctypeslib.as_array(py, (n,)).copy()
+    L.wm_free(px)
+    L.wm_free(py)
+    return x, y
+
+
+def winnow(codes, key, z, sym, ordv, skip_len, base_pos, w, k, rid, is_hpc):
+    """Robust-winnowing automaton tail of the device sketch
+    (sketch/device.py); inputs are the device-computed per-slot arrays."""
+    L = lib()
+    codes = np.ascontiguousarray(codes, np.uint8)
+    key = np.ascontiguousarray(key, np.uint64)
+    z = np.ascontiguousarray(z, np.uint8)
+    sym = np.ascontiguousarray(sym, np.uint8)
+    ordv = np.ascontiguousarray(ordv, np.float64)
+    skip_len = np.ascontiguousarray(skip_len, np.int64)
+    base_pos = np.ascontiguousarray(base_pos, np.int64)
+    px = ctypes.POINTER(ctypes.c_uint64)()
+    py = ctypes.POINTER(ctypes.c_uint64)()
+    n = L.wm_winnow(len(codes), codes, key, z, sym, ordv, skip_len,
+                    base_pos, w, k, rid, int(is_hpc), ctypes.byref(px),
+                    ctypes.byref(py))
     if n == 0:
         return _EMPTY_U64, _EMPTY_U64
     x = np.ctypeslib.as_array(px, (n,)).copy()

@@ -196,3 +196,90 @@ uint64_t wm_encode_kmer(const char* s, int k) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Robust-winnowing selection automaton over precomputed per-slot inputs
+// (the device sketch path, winnowmap_tpu/sketch/device.py: the heavy
+// per-base transform -- k-mer roll, murmur, membership -- runs on the TPU;
+// this tail replicates the oracle's window scan, reference
+// sketch.c:128-219 selection semantics, bit-for-bit).
+//   codes[i]  : nt4 code of slot i (4 = ambiguous resets the window)
+//   key[i]    : mixed canonical k-mer key (device)
+//   z[i]      : strand bit (device)
+//   sym[i]    : strand-symmetric k-mer (skipped without pushing)
+//   ordv[i]   : IEEE-double selection order (host f64, oracle-identical)
+//   skip_len  : HPC run length per slot (1s when !is_hpc)
+//   base_pos  : reference position of the slot's last base
+int64_t wm_winnow(int64_t n, const uint8_t* codes, const uint64_t* key,
+                  const uint8_t* z, const uint8_t* sym, const double* ordv,
+                  const int64_t* skip_len, const int64_t* base_pos, int w,
+                  int k, uint32_t rid, int is_hpc, uint64_t** out_x,
+                  uint64_t** out_y) {
+  *out_x = nullptr;
+  *out_y = nullptr;
+  std::vector<uint64_t> rx, ry;
+  std::vector<uint64_t> bufx(w, UINT64_MAX), bufy(w, UINT64_MAX);
+  std::vector<double> buford(w, 2.0);
+  uint64_t minx = UINT64_MAX, miny = UINT64_MAX;
+  double min_order = 2.0;
+  int min_pos = 0, buf_pos = 0, l = 0, kmer_span = 0;
+  HpcQueue tq;
+
+  for (int64_t i = 0; i < n; ++i) {
+    int c = codes[i];
+    uint64_t infox = UINT64_MAX, infoy = UINT64_MAX;
+    double info_order = 2.0;
+    if (c < 4) {
+      if (is_hpc) {
+        tq.push((int)skip_len[i]);
+        kmer_span += (int)skip_len[i];
+        if (tq.count > k) kmer_span -= tq.shift();
+      } else
+        kmer_span = l + 1 < k ? l + 1 : k;
+      if (sym[i]) continue;  // strand-ambiguous symmetric k-mer
+      ++l;
+      if (l >= k && kmer_span < 256) {
+        infox = key[i] << 8 | kmer_span;
+        infoy = (uint64_t)rid << 32 | (uint32_t)base_pos[i] << 1 | z[i];
+        info_order = ordv[i];
+      }
+    } else {
+      l = 0;
+      tq.count = tq.front = 0;
+      kmer_span = 0;
+    }
+    bufx[buf_pos] = infox;
+    bufy[buf_pos] = infoy;
+    buford[buf_pos] = info_order;
+
+    if (info_order < min_order) {
+      if (l >= w + k && minx != UINT64_MAX) rx.push_back(minx), ry.push_back(miny);
+      minx = infox, miny = infoy, min_pos = buf_pos, min_order = info_order;
+    } else if (buf_pos == min_pos) {
+      if (l >= w + k - 1 && minx != UINT64_MAX)
+        rx.push_back(minx), ry.push_back(miny);
+      minx = UINT64_MAX;
+      min_order = 2.0;
+      for (int j = buf_pos + 1; j < w; ++j)
+        if (min_order >= buford[j])
+          minx = bufx[j], miny = bufy[j], min_pos = j, min_order = buford[j];
+      for (int j = 0; j <= buf_pos; ++j)
+        if (min_order >= buford[j])
+          minx = bufx[j], miny = bufy[j], min_pos = j, min_order = buford[j];
+    }
+    if (++buf_pos == w) buf_pos = 0;
+  }
+  if (minx != UINT64_MAX) rx.push_back(minx), ry.push_back(miny);
+
+  int64_t cnt = (int64_t)rx.size();
+  if (cnt) {
+    *out_x = (uint64_t*)wm_malloc(sizeof(uint64_t) * cnt);
+    *out_y = (uint64_t*)wm_malloc(sizeof(uint64_t) * cnt);
+    std::memcpy(*out_x, rx.data(), sizeof(uint64_t) * cnt);
+    std::memcpy(*out_y, ry.data(), sizeof(uint64_t) * cnt);
+  }
+  return cnt;
+}
+
+}  // extern "C"
