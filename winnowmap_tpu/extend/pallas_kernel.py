@@ -967,6 +967,18 @@ def quantize_len(n: int, _bisect=__import__("bisect").bisect_left) -> int:
     return _round_up(n, 16384)
 
 
+def est_dirs_slot_bytes(Lq: int, Lt: int, w: int) -> int:
+    """Direction-tensor bytes per padded batch slot for a quantized call
+    shape (used by dispatchers to cap a call's HBM footprint)."""
+    R = Lq + Lt - 1
+    n_col = min(min(Lq, Lt), w + 1)
+    Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32 + _EXTD_ROWS, 128)
+    return _round_up(R, 64) * Wb
+
+
+MAX_CALL_DIRS_BYTES = 2 << 30
+
+
 def quantize_batch(n: int) -> int:
     # coarse ladder: at most 3 batch-size variants per kernel shape, so the
     # jit/compile caches converge quickly (padded tiles die on the first
@@ -1027,10 +1039,17 @@ class DevCall:
         n_col = min(min(Lq, Lt), W_MAX + 1)
         Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32 + _EXTD_ROWS, 128)
         if Wb > 2048:
-            # wide bands: halve the tile so the step-window kernel's
+            # wide bands: shrink the tile so the step-window kernel's
             # value working set stays inside the 16 MB scoped VMEM
             TB = min(TB, 32)
+        if Wb > 3968:
+            TB = min(TB, 16)
         B = quantize_batch(_round_up(B0, TB))
+        slot_bytes = _round_up(R, 64) * Wb
+        if B * slot_bytes > MAX_CALL_DIRS_BYTES:
+            # big shapes: exact TB-padded batch instead of the quantized
+            # ladder, so padding slots cannot blow the dirs HBM footprint
+            B = _round_up(B0, TB)
 
         mat = np.asarray(mat, np.int8)
         sc_n = int(mat[24]) if mat[24] != 0 else None
@@ -1256,10 +1275,17 @@ class DevCallPooled:
         n_col = min(min(Lq, Lt), W_MAX + 1)
         Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32 + _EXTD_ROWS, 128)
         if Wb > 2048:
-            # wide bands: halve the tile so the step-window kernel's
+            # wide bands: shrink the tile so the step-window kernel's
             # value working set stays inside the 16 MB scoped VMEM
             TB = min(TB, 32)
+        if Wb > 3968:
+            TB = min(TB, 16)
         B = quantize_batch(_round_up(B0, TB))
+        slot_bytes = _round_up(R, 64) * Wb
+        if B * slot_bytes > MAX_CALL_DIRS_BYTES:
+            # big shapes: exact TB-padded batch instead of the quantized
+            # ladder, so padding slots cannot blow the dirs HBM footprint
+            B = _round_up(B0, TB)
 
         mat = np.asarray(mat, np.int8)
         sc_n = int(mat[24]) if mat[24] != 0 else None

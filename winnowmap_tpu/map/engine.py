@@ -164,11 +164,16 @@ class MapEngine:
                               ln.ctypes.data)
 
     def _dispatch(self, prof, end_bonus, flag, rows,
-                  shape_override=None) -> object:
-        """One DevCallPooled for a homogeneous group of job rows."""
+                  shape_override=None) -> list:
+        """DevCallPooled(s) for a homogeneous group of job rows; splits the
+        group when the padded direction tensor would exceed the per-call
+        HBM cap.  Returns a list of (call, rows) pairs."""
         import time
 
-        from ..extend.pallas_kernel import DevCallPooled
+        from ..extend.pallas_kernel import (MAX_CALL_DIRS_BYTES,
+                                            DevCallPooled,
+                                            est_dirs_slot_bytes,
+                                            quantize_len)
         from .align import gen_simple_mat
 
         opt = self.opts3[prof]
@@ -177,19 +182,31 @@ class MapEngine:
         # go dead together for the liveness guard
         order = np.argsort(-(rows[:, C_QLEN] + rows[:, C_TLEN]), kind="stable")
         rows = rows[order]
-        units = [((0, int(r[C_QOFF]), int(r[C_QLEN]), bool(r[C_QREV])),
-                  (1, int(r[C_TOFF]), int(r[C_TLEN]), bool(r[C_TREV])),
-                  int(r[C_W]), int(r[C_ZD])) for r in rows]
-        t0 = time.time()
-        call = DevCallPooled(self.pools, units, mat, opt.q, opt.e, opt.q2,
-                             opt.e2, int(end_bonus), int(flag),
-                             TB=64 if len(units) >= 64 else 32,
-                             shape_override=shape_override)
-        call.start_fetch()
-        STATS["dispatch_s"] += time.time() - t0
-        STATS["dev_calls"] += 1
-        STATS["dev_jobs"] += len(units)
-        return (call, rows)
+        if shape_override is not None:
+            Lq, Lt, Wq = shape_override
+        else:
+            Lq = quantize_len(max(1, int(rows[:, C_QLEN].max())))
+            Lt = quantize_len(max(1, int(rows[:, C_TLEN].max())))
+            Wq = quantize_len(max(1, int(rows[:, C_W].max())))
+        max_jobs = max(1, MAX_CALL_DIRS_BYTES
+                       // est_dirs_slot_bytes(Lq, Lt, Wq))
+        out = []
+        for lo in range(0, len(rows), max_jobs):
+            crows = rows[lo:lo + max_jobs]
+            units = [((0, int(r[C_QOFF]), int(r[C_QLEN]), bool(r[C_QREV])),
+                      (1, int(r[C_TOFF]), int(r[C_TLEN]), bool(r[C_TREV])),
+                      int(r[C_W]), int(r[C_ZD])) for r in crows]
+            t0 = time.time()
+            call = DevCallPooled(self.pools, units, mat, opt.q, opt.e,
+                                 opt.q2, opt.e2, int(end_bonus), int(flag),
+                                 TB=64 if len(units) >= 64 else 32,
+                                 shape_override=shape_override)
+            call.start_fetch()
+            STATS["dispatch_s"] += time.time() - t0
+            STATS["dev_calls"] += 1
+            STATS["dev_jobs"] += len(units)
+            out.append((call, crows))
+        return out
 
     def _drive_phase(self):
         """Pump the engine<->device loop until the phase's threads finish."""
@@ -224,7 +241,7 @@ class MapEngine:
             for key in sorted(pending, key=lambda k: -len(pending[k])):
                 if len(pending[key]) >= MIN_DEV_BATCH:
                     rows = np.stack(pending.pop(key))
-                    inflight.append(self._dispatch(key[0], key[1], key[2],
+                    inflight.extend(self._dispatch(key[0], key[1], key[2],
                                                    rows))
                     did = True
             return did
@@ -256,20 +273,22 @@ class MapEngine:
             pending.clear()
             did = False
             for gk, rs in groups.items():
-                # merged fixed-shape calls are cheap (bounded variant space,
-                # one ~27ms call) while straggler DP on the single host core
-                # costs ~10ms/job -- dispatch every group
-                rows = np.stack(rs)
-                STATS["dev_merged"] += len(rs)
-                inflight.append(self._dispatch(
-                    gk[0], gk[1], gk[2], rows,
-                    shape_override=(gk[3], gk[3], gk[4])))
-                did = True
+                if len(rs) >= MIN_MERGED_BATCH:
+                    rows = np.stack(rs)
+                    STATS["dev_merged"] += len(rs)
+                    inflight.extend(self._dispatch(
+                        gk[0], gk[1], gk[2], rows,
+                        shape_override=(gk[3], gk[3], gk[4])))
+                    did = True
+                else:
+                    # tiny leftover groups: the padded fixed-shape call
+                    # costs more device time than the engine's host DP
+                    leftovers.extend(rs)
             for key, rs in big.items():
                 # exact bucket-key shape: same variant space as full buckets
                 rows = np.stack(rs)
                 STATS["dev_merged"] += len(rs)
-                inflight.append(self._dispatch(key[0], key[1], key[2], rows))
+                inflight.extend(self._dispatch(key[0], key[1], key[2], rows))
                 did = True
             if leftovers:
                 ids = np.ascontiguousarray(

@@ -130,7 +130,9 @@ def _pipeline_once_gen(mi, opt, qlen, seq, qname, hash_, run_est_err=True,
     mvx, mvy = collect_minimizers(opt, mi, [qlen], [seq])
     sh = collect_seed_hits(opt, opt.mid_occ, mi, qname, mvx, mvy, qlen)
     max_gap_qry, max_gap_ref, min_gap_ref = _chain_gaps(opt, is_sr, qlen)
-    u, ax, ay = native.chain_dp(
+    from ..chain import chain_dp_auto
+
+    u, ax, ay = chain_dp_auto(
         sh.ax, sh.ay,
         max_dist_x=max_gap_ref, min_dist_x=min_gap_ref, max_dist_y=max_gap_qry,
         bw=opt.bw, max_skip=opt.max_chain_skip, max_iter=opt.max_chain_iter,
@@ -194,7 +196,9 @@ def _stage2_chain_gen(mi, opt3, qlen, seq, qname, ax_in, ay_in, rep_len,
     is_sr = bool(opt3.flag & MM_F_SR)
     hash_ = _frag_hash(qname, qlen, opt3.seed)
     max_gap_qry, max_gap_ref, min_gap_ref = _chain_gaps(opt3, is_sr, qlen)
-    u, ax, ay = native.chain_dp(
+    from ..chain import chain_dp_auto
+
+    u, ax, ay = chain_dp_auto(
         ax_in, ay_in,
         max_dist_x=max_gap_ref, min_dist_x=min_gap_ref, max_dist_y=max_gap_qry,
         bw=opt3.bw, max_skip=opt3.max_chain_skip, max_iter=opt3.max_chain_iter,

@@ -216,6 +216,14 @@ def lib() -> ctypes.CDLL:
             ctypes.POINTER(pu64), ctypes.POINTER(pu64),
         ]
         L.wm_winnow.restype = ctypes.c_int64
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        L.wm_chain_finish.argtypes = [
+            ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int, ctypes.c_int,
+            u64p, u64p, ctypes.POINTER(pu64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(pu64),
+            ctypes.POINTER(pu64),
+        ]
+        L.wm_chain_finish.restype = ctypes.c_int64
 
         # ---- mapping engine (wm_engine.cpp) ----
         L.wm_eng_create.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
@@ -462,6 +470,34 @@ def winnow(codes, key, z, sym, ordv, skip_len, base_pos, w, k, rid, is_hpc):
     L.wm_free(px)
     L.wm_free(py)
     return x, y
+
+
+def chain_finish(f, pre, v, min_cnt, min_sc, ax, ay):
+    """Chain-end discovery + backtrack + reorder over a computed forward
+    DP (the oracle's own tail, shared with the device chain kernel)."""
+    L = lib()
+    f = np.ascontiguousarray(f, np.int32)
+    pre = np.ascontiguousarray(pre, np.int32)
+    v = np.ascontiguousarray(v, np.int32)
+    ax = np.ascontiguousarray(ax, np.uint64)
+    ay = np.ascontiguousarray(ay, np.uint64)
+    pu = ctypes.POINTER(ctypes.c_uint64)()
+    pax = ctypes.POINTER(ctypes.c_uint64)()
+    pay = ctypes.POINTER(ctypes.c_uint64)()
+    n_u = ctypes.c_int32()
+    n_v = L.wm_chain_finish(len(f), f, pre, v, min_cnt, min_sc, ax, ay,
+                            ctypes.byref(pu), ctypes.byref(n_u),
+                            ctypes.byref(pax), ctypes.byref(pay))
+    if n_v == 0:
+        z = np.zeros(0, np.uint64)
+        return z, z, z
+    u = np.ctypeslib.as_array(pu, (n_u.value,)).copy()
+    oax = np.ctypeslib.as_array(pax, (n_v,)).copy()
+    oay = np.ctypeslib.as_array(pay, (n_v,)).copy()
+    L.wm_free(pu)
+    L.wm_free(pax)
+    L.wm_free(pay)
+    return u, oax, oay
 
 
 def encode_kmer(s: bytes) -> int:

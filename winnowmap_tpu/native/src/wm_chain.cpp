@@ -6,8 +6,10 @@
 // max_skip early-break bookkeeping, float gap-cost rounding, and the final
 // chain reordering by first-anchor reference position.
 //
-// The production TPU path is a batched Pallas scan (winnowmap_tpu/chain/);
-// this scalar routine is the semantic reference and CPU fallback.
+// The device path (winnowmap_tpu/chain/device.py) runs the forward DP as
+// a batched XLA lane-scan and shares wm_chain_finish below for the tail;
+// this scalar routine is the semantic reference and the production path
+// for small anchor sets (below the device call overhead).
 
 #include "wm_base.h"
 
@@ -26,6 +28,12 @@ inline int ilog2_32(uint32_t v) {
 }  // namespace
 
 extern "C" {
+
+int64_t wm_chain_finish(int64_t n, const int32_t* f, const int32_t* pre,
+                        const int32_t* v, int min_cnt, int min_sc,
+                        const uint64_t* ax, const uint64_t* ay,
+                        uint64_t** out_u, int32_t* out_n_u, uint64_t** out_ax,
+                        uint64_t** out_ay);
 
 // Returns the number of output anchors (n_v).  Outputs:
 //   out_u  : per-chain (score<<32 | count), length *out_n_u (wm_malloc'd)
@@ -100,9 +108,26 @@ int64_t wm_chain_dp(int max_dist_x, int min_dist_x, int max_dist_y, int bw,
     v[i] = max_j >= 0 && v[max_j] > max_f ? v[max_j] : max_f;
   }
 
-  // chain end discovery
-  std::fill(t.begin(), t.end(), 0);
-  for (int64_t i = 0; i < n; ++i)
+  return wm_chain_finish(n, f.data(), pre.data(), v.data(), min_cnt,
+                         min_sc, ax, ay, out_u, out_n_u, out_ax, out_ay);
+}
+
+// Chain-end discovery, backtrack, and reordering over a computed forward
+// DP (f = best score ending at anchor, pre = predecessor, v = running peak
+// score along the chain) -- the tail of the reference chain DP
+// (src/chain.c:92-166), shared by the scalar oracle above and the device
+// forward kernel (winnowmap_tpu/chain/device.py).
+int64_t wm_chain_finish(int64_t n, const int32_t* f, const int32_t* pre,
+                        const int32_t* v, int min_cnt, int min_sc,
+                        const uint64_t* ax, const uint64_t* ay,
+                        uint64_t** out_u, int32_t* out_n_u, uint64_t** out_ax,
+                        uint64_t** out_ay) {
+  *out_u = nullptr;
+  *out_n_u = 0;
+  *out_ax = nullptr;
+  *out_ay = nullptr;
+  std::vector<int32_t> t(n, 0);
+    for (int64_t i = 0; i < n; ++i)
     if (pre[i] >= 0) t[pre[i]] = 1;
   int64_t n_u = 0;
   for (int64_t i = 0; i < n; ++i)
