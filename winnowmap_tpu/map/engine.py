@@ -31,7 +31,7 @@ from ..options import (
     stage1_options,
     stage2_options,
 )
-from .batch import MAX_DIRS_BYTES, MIN_DEV_BATCH, MIN_MERGED_BATCH, STATS
+from .batch import MIN_DEV_BATCH, MIN_MERGED_BATCH, STATS
 from .frag import MapResult, _x31_hash
 from .hit import Extra, Reg
 

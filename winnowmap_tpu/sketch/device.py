@@ -4,12 +4,12 @@ TPU re-expression of the weighted-minimizer scan (reference
 src/sketch.c:128-219 + applyWeight src/sketch.c:70-89; host oracle
 native/src/wm_sketch.cpp).  The per-base heavy lifting runs vectorized on
 the device under a scoped x64 context: nt4 decode, HPC run compaction,
-rolling forward/reverse k-mers (k shifted-term sums), the MurmurHash3
-finalizer, and the sorted-set membership test against the down-weight set.
-The selection tail -- IEEE-double weight ordering and the robust-winnowing
-window automaton, which is inherently sequential and O(few ops)/base --
-runs in numpy f64 (bit-identical to the C++ doubles) and a 40-line native
-automaton (wm_winnow), so minimizer sets are byte-identical to the oracle
+rolling forward/reverse k-mers (k shifted-term sums), and the MurmurHash3
+finalizer.  The selection tail -- the (tiny) down-weight-set membership,
+IEEE-double weight ordering, and the robust-winnowing window automaton,
+which is inherently sequential and O(few ops)/base -- runs in numpy f64
+(bit-identical to the C++ doubles) and a 40-line native automaton
+(wm_winnow), so minimizer sets are byte-identical to the oracle
 (asserted by tests/test_sketch.py::test_device_sketch_parity).
 
 Production wiring: index construction (index/build.py) routes genome-scale
@@ -18,7 +18,6 @@ sketching through this path when a device is present.
 from __future__ import annotations
 
 import functools
-import os
 
 import numpy as np
 
@@ -32,7 +31,7 @@ def _compiled_transform(k: int, is_hpc: bool):
     import jax
     import jax.numpy as jnp
 
-    def xform(codes, wset):
+    def xform(codes):
         # codes: (n,) uint8 0..4 (already HPC-compacted when is_hpc; the
         # span/ambiguity bookkeeping is host-side)
         n = codes.shape[0]
@@ -72,14 +71,7 @@ def _compiled_transform(k: int, is_hpc: bool):
         key = ((key + (key << jnp.uint64(2))) + (key << jnp.uint64(4))) & mask
         key = key ^ (key >> jnp.uint64(28))
         key = (key + (key << jnp.uint64(31))) & mask
-        # membership in the sorted down-weight set
-        if wset.shape[0]:
-            idx = jnp.searchsorted(wset, canon)
-            idxc = jnp.minimum(idx, wset.shape[0] - 1)
-            flagged = wset[idxc] == canon
-        else:
-            flagged = jnp.zeros(n, bool)
-        return key, h, z, sym, flagged
+        return key, h, z, sym, canon
 
     return jax.jit(xform)
 
@@ -90,9 +82,20 @@ def _transform_device(codes: np.ndarray, wset: np.ndarray, k: int,
 
     with jax.enable_x64():
         fn = _compiled_transform(k, is_hpc)
-        key, h, z, sym, flagged = fn(codes, wset.astype(np.uint64))
+        key, h, z, sym, canon = fn(codes)
+        # membership against the (small) sorted down-weight set runs on the
+        # host: TPU gathers over tens of millions of dynamic indices are
+        # orders slower than a vectorized numpy searchsorted
+        canon = np.asarray(canon)
+        if len(wset):
+            ws = np.ascontiguousarray(wset, np.uint64)
+            idx = np.searchsorted(ws, canon)
+            idxc = np.minimum(idx, len(ws) - 1)
+            flagged = ws[idxc] == canon
+        else:
+            flagged = np.zeros(len(canon), bool)
         return (np.asarray(key), np.asarray(h), np.asarray(z),
-                np.asarray(sym), np.asarray(flagged))
+                np.asarray(sym), flagged)
 
 
 def sketch_device(seq: bytes, w: int, k: int, rid: int, is_hpc: bool,
