@@ -29,13 +29,35 @@ FILTERS = {
     "equal-to": "equal_to",
     "not-equal-to": "not_equal_to",
 }
+# value ops with a math constant (reference merylOp.H opIncrease..opModulo,
+# merylCommandBuilder.C:357-362)
+MATHOPS = {
+    "increase": "increase",
+    "decrease": "decrease",
+    "multiply": "multiply",
+    "divide": "divide",
+    "divide-round": "divide_round",
+    "modulo": "modulo",
+}
+# n-ary merges over sorted streams (reference merylOp.H opUnion..opSubtract,
+# merylCommandBuilder.C:364-377; exact count semantics in kcount.nary_merge)
 BINOPS = {
+    "union": "union",
+    "union-min": "union_min",
+    "union-max": "union_max",
     "union-sum": "union_sum",
-    "union": "union_sum",
+    "intersect": "intersect",
     "intersect-min": "intersect_min",
-    "intersect": "intersect_min",
+    "intersect-max": "intersect_max",
+    "intersect-sum": "intersect_sum",
     "subtract": "subtract",
     "difference": "difference",
+    "symmetric-difference": "symmetric_difference",
+}
+COUNT_DIRS = {
+    "count": "canonical",
+    "count-forward": "forward",
+    "count-reverse": "reverse",
 }
 
 
@@ -68,8 +90,12 @@ def _eval_tree(tokens, use_device, k_inherit=None):
     merylCommandBuilder's [...] operation trees, merylCommandBuilder.C):
     an action (count or a set op), modifiers (k=, output, filters), and
     operands which are databases or bracketed sub-expressions."""
+    from .kcount import compare_lines, nary_merge, ploidy_report
+
     op = None
+    count_dir = "canonical"
     filt = filt_arg = None
+    math_arg = None
     k = k_inherit
     out_db = None
     do_print = False
@@ -89,16 +115,21 @@ def _eval_tree(tokens, use_device, k_inherit=None):
             children.append(_eval_tree(tokens[i + 1:j - 1], use_device, k))
             i = j
             continue
-        if a == "count":
+        if a in COUNT_DIRS:
             op = "count"
+            count_dir = COUNT_DIRS[a]
         elif a == "print":
             do_print = True
-        elif a in ("histogram", "statistics"):
-            op = a
+        elif a in ("histogram", "statistics", "ploidy", "noise", "compare"):
+            op = "ploidy" if a == "noise" else a
         elif a in FILTERS:
             filt = FILTERS[a]
             i += 1
             filt_arg = tokens[i]
+        elif a in MATHOPS:
+            op = MATHOPS[a]
+            i += 1
+            math_arg = int(tokens[i])
         elif a in BINOPS:
             op = BINOPS[a]
         elif a.startswith("k="):
@@ -120,13 +151,38 @@ def _eval_tree(tokens, use_device, k_inherit=None):
         recs = []
         for f in files:
             recs.extend(read_all(f))
-        kc = count_kmers(recs, k, use_device=use_device)
+        kc = count_kmers(recs, k, use_device=use_device,
+                         direction=count_dir)
+    elif op in MATHOPS.values():
+        if not children:
+            raise SystemExit(f"ERROR: {op} needs an operand")
+        kc = getattr(children[0], op)(math_arg)
     elif op in BINOPS.values():
         if len(children) < 2:
             raise SystemExit(f"ERROR: {op} needs two operands")
-        kc = getattr(children[0], op)(children[1])
-        for extra in children[2:]:
-            kc = getattr(kc, op)(extra)
+        kc = nary_merge(op, children)
+    elif op == "compare":
+        if len(children) != 2:
+            raise SystemExit("ERROR: compare needs two operands")
+        for line in compare_lines(children[0], children[1]):
+            sys.stdout.write(line + "\n")
+        return children[0]
+    elif op == "ploidy":
+        if len(children) != 1:
+            raise SystemExit("ERROR: ploidy needs one database")
+        err_lines, out_line = ploidy_report(children[0])
+        for line in err_lines:
+            sys.stderr.write(line + "\n")
+        sys.stdout.write(out_line + "\n")
+        return children[0]
+    elif op == "histogram":
+        kc = children[0] if children else None
+        if kc is None:
+            raise SystemExit("ERROR: histogram needs a database")
+        vals, occ = kc.histogram()
+        for v, o in zip(vals.tolist(), occ.tolist()):
+            sys.stdout.write(f"{v}\t{o}\n")
+        return kc
     elif children:
         kc = children[0]
     else:
@@ -158,12 +214,15 @@ def main(argv: list[str] | None = None) -> int:
     op = None
     filt = None
     filt_arg = None
+    math_arg = None
+    count_dir = "canonical"
     k = None
     inputs = []
     while i < len(args):
         a = args[i]
-        if a == "count":
+        if a in COUNT_DIRS:
             op = "count"
+            count_dir = COUNT_DIRS[a]
         elif a in ("import", "-kmers"):
             op = "import" if a == "import" else op
             if a == "-kmers":
@@ -177,12 +236,16 @@ def main(argv: list[str] | None = None) -> int:
             out_db = args[i]
         elif a == "print":
             do_print = True
-        elif a in ("histogram", "statistics"):
-            op = a
+        elif a in ("histogram", "statistics", "ploidy", "noise", "compare"):
+            op = "ploidy" if a == "noise" else a
         elif a in FILTERS:
             filt = FILTERS[a]
             i += 1
             filt_arg = args[i]
+        elif a in MATHOPS:
+            op = MATHOPS[a]
+            i += 1
+            math_arg = int(args[i])
         elif a in BINOPS:
             op = BINOPS[a]
         elif a.startswith("k="):
@@ -202,7 +265,8 @@ def main(argv: list[str] | None = None) -> int:
         recs = []
         for f in inputs:
             recs.extend(read_all(f))
-        kc = count_kmers(recs, k, use_device=use_device)
+        kc = count_kmers(recs, k, use_device=use_device,
+                         direction=count_dir)
         phase_log(
             "meryl",
             f"counted {kc.n_total} total / {kc.n_distinct} distinct {k}-mers",
@@ -259,16 +323,41 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if op in BINOPS.values():
+        from .kcount import nary_merge
+
         dbs = [_load_or_err(p) for p in inputs]
         if len(dbs) < 2:
             raise SystemExit(f"ERROR: {op} needs two databases")
-        kc = getattr(dbs[0], op)(dbs[1])
-        for extra in dbs[2:]:
-            kc = getattr(kc, op)(extra)
+        kc = nary_merge(op, dbs)
         if out_db:
             kc.save(out_db)
         if do_print:
             _emit(kc, filt, filt_arg)
+        return 0
+
+    if op in MATHOPS.values():
+        kc = getattr(_load_or_err(inputs[0]), op)(math_arg)
+        if out_db:
+            kc.save(out_db)
+        if do_print:
+            _emit(kc, filt, filt_arg)
+        return 0
+
+    if op == "compare":
+        from .kcount import compare_lines
+
+        a, b = _load_or_err(inputs[0]), _load_or_err(inputs[1])
+        for line in compare_lines(a, b):
+            sys.stdout.write(line + "\n")
+        return 0
+
+    if op == "ploidy":
+        from .kcount import ploidy_report
+
+        err_lines, out_line = ploidy_report(_load_or_err(inputs[0]))
+        for line in err_lines:
+            sys.stderr.write(line + "\n")
+        sys.stdout.write(out_line + "\n")
         return 0
 
     # bare print / filtered print over a database
@@ -291,9 +380,15 @@ def _emit(kc: KmerCounts, filt, filt_arg) -> None:
             thr = int(filt_arg)
         kc = getattr(kc, filt)(thr)
     w = sys.stdout.write
-    for line in kc.print_lines():
-        w(line)
-        w("\n")
+    try:
+        for line in kc.print_lines():
+            w(line)
+            w("\n")
+    except BrokenPipeError:  # `meryl print ... | head` is normal usage
+        try:
+            sys.stdout.close()
+        except BrokenPipeError:
+            pass
 
 
 if __name__ == "__main__":
