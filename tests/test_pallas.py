@@ -79,3 +79,85 @@ def test_pallas_kernels_match_oracle_tpu():
         pytest.skip("no TPU available")
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "PALLAS-ORACLE-OK" in proc.stdout
+
+
+FRINGE_SCRIPT = textwrap.dedent("""
+    import sys
+    sys.path.insert(0, {repo!r})
+    import winnowmap_tpu
+    winnowmap_tpu.enable_compile_cache()
+    import numpy as np
+    import winnowmap_tpu.native as native
+    from winnowmap_tpu.extend import pallas_kernel as pk
+    from winnowmap_tpu.map.align import gen_simple_mat
+
+    rng = np.random.default_rng(11)
+
+    def mutate(t, err, indel=0.04):
+        out = []
+        i = 0
+        while i < len(t):
+            r = rng.random()
+            if r < indel / 2:
+                i += 1
+                continue
+            if r < indel:
+                out.append(rng.integers(0, 4))
+                continue
+            if r < indel + err:
+                out.append((t[i] + rng.integers(1, 4)) % 4)
+            else:
+                out.append(t[i])
+            i += 1
+        return np.array(out, np.uint8)
+
+    profiles = [("ont", (2, 4, 4, 2, 24, 1)), ("asm20", (1, 4, 6, 2, 26, 1)),
+                ("asm5", (1, 19, 39, 3, 81, 1))]
+    fails = total = 0
+    for prof, (a, b, q, e, q2, e2) in profiles:
+        mat = gen_simple_mat(a, b, 1)
+        for flag in (0x08, 0x18, 0x00, 0x42 | 0x80, 0x02 | 0x08):
+            for wband in (50, 400):
+                qs, ts = [], []
+                for i in range(10):
+                    n = int(rng.integers(100, 1500))
+                    t = rng.integers(0, 4, n).astype(np.uint8)
+                    qs.append(mutate(t, 0.10))
+                    ts.append(t)
+                ezs = pk.extd_cigar_device(qs, ts, mat, q, e, q2, e2,
+                                           wband, 300, 10, flag)
+                for i in range(10):
+                    total += 1
+                    h = native.extd(qs[i], ts[i], mat, q, e, q2, e2, wband,
+                                    300, 10, flag)
+                    d = ezs[i]
+                    same = (h.max, int(h.zdropped), h.max_q, h.max_t,
+                            h.mqe, h.mqe_t, h.mte, h.mte_q, h.score,
+                            int(h.reach_end)) == (
+                        d.max, int(d.zdropped), d.max_q, d.max_t, d.mqe,
+                        d.mqe_t, d.mte, d.mte_q, d.score, int(d.reach_end))
+                    same = same and np.array_equal(d.cigar, h.cigar)
+                    if not same:
+                        fails += 1
+                        print("MISMATCH", prof, hex(flag), wband, i)
+    print(f"parity {{total - fails}}/{{total}}")
+    assert fails == 0
+    print("FRINGE-OK")
+""")
+
+
+@pytest.mark.skipif(os.environ.get("WM_FRINGE_SWEEP") != "1",
+                    reason="opt-in: WM_FRINGE_SWEEP=1 (runs ~300 cases on "
+                           "the real chip; the claim '300/300 fringe-heavy "
+                           "parity incl. asm5/asm20' reproduces from here)")
+def test_pallas_fringe_sweep_tpu():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, "-c", FRINGE_SCRIPT.format(repo=str(REPO))],
+        capture_output=True, text=True, timeout=2400, env=env,
+    )
+    if proc.returncode != 0 and "No TPU" in proc.stderr:
+        pytest.skip("no TPU available")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "FRINGE-OK" in proc.stdout

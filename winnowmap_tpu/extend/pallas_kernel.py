@@ -46,10 +46,18 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _interpret() -> bool:
+    """WM_PALLAS_INTERPRET=1 runs the Pallas kernels in interpreter mode so
+    the CPU-only test mesh can assert kernel bit-exactness without a chip."""
+    import os
+
+    return os.environ.get("WM_PALLAS_INTERPRET") == "1"
+
+
 def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                        W_MAX, approx_max, right_gaps, with_cigar, approx_drop,
                        sc_mch, sc_mis, sc_n, ROWS=32):
-    """Wavefront extd kernel, step-window formulation.
+    """Wavefront extd kernel, step-window formulation, native-int8 core.
 
     ROWS anti-diagonals are processed per grid step with ALL band state held
     in registers/values: scratch is read once and written once per step.
@@ -60,6 +68,14 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
     sliding-window refill semantics (ksw2_extd2_sse.c:150-160).  Each row's
     true rounded band [st, en] lives inside the window; per-row lane masks
     freeze out-of-band lanes precisely like the SIMD kernel.
+
+    The reference SSE kernel computes the whole recurrence in WRAPPING
+    int8 lanes (_mm_add_epi8/_mm_sub_epi8/_mm_max_epi8,
+    ksw2_extd2_sse.c:40-58,188-197), so the core here runs natively in
+    int8 vectors -- bit-exact by construction for every scoring profile,
+    and 4x the VPU lane density of the i32 lifting it replaces.  Lane-index
+    masks are built from int16 iota against window-relative bounds (all
+    bounds fit int16: Wb < 13000 by the rank-packing assert).
     """
     import jax
     import jax.numpy as jnp
@@ -67,6 +83,7 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
     from jax.experimental.pallas import tpu as pltpu
 
     i8 = jnp.int8
+    i16 = jnp.int16
     i32 = jnp.int32
     u8 = jnp.uint8
     qe = q + e
@@ -85,17 +102,6 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
     # between-step window advance is bounded by ROWS + 16 (st0c moves at
     # most 1/row); the Wb formula in the callers budgets for it
     MAX_DELTA = (ROWS + 16 + 15) // 16 * 16
-
-    # Wrap-elision gate: int8 wraps only matter where a wrapped value meets
-    # a comparison (max chain, >0 tests) on band-fringe lanes whose values
-    # drift outside the ksw2 difference bounds.  For tightly bounded
-    # profiles (map-ont / map-pb / asm20 class) the drift provably cannot
-    # reach the int8 limits within a window lifetime; wider-gap profiles
-    # (asm5/asm10) keep the exact wrap emulation.  Gate validated by the
-    # fringe-heavy randomized parity suite (tests/test_pallas.py).
-    W8_IDENTITY = (sc_mch <= 4 and -sc_mis <= 8 and q + e <= 8
-                   and q2 + e2 <= 32
-                   and (sc_n is None or -sc_n <= 8))
 
     def stepbase(r0):
         st0c = jnp.maximum(jnp.maximum(0, r0 - Lq + 1),
@@ -136,7 +142,8 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
             x2_s[:] = jnp.full((TB, Wb), init_xy2, i8)
             y2_s[:] = jnp.full((TB, Wb), init_xy2, i8)
             s_s[:] = jnp.zeros((TB, Wb), i8)
-            H_s[:] = jnp.full((TB, Wb), NEG_INF, i32)
+            if not approx_max:
+                H_s[:] = jnp.full((TB, Wb), NEG_INF, i32)
             col = jax.lax.broadcasted_iota(i32, (TB, 16), 1)
             neg1 = ((col == IDX["max_q"]) | (col == IDX["max_t"])
                     | (col == IDX["mqe_t"]) | (col == IDX["mte_q"]))
@@ -177,72 +184,68 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                     roll(x2_s, init_xy2)
                     roll(y2_s, init_xy2)
                     roll(s_s, jnp.int8(0))
-                    roll(H_s, jnp.int32(NEG_INF))
+                    if not approx_max:
+                        roll(H_s, jnp.int32(NEG_INF))
 
             w = w_ref[:]
             zdrop = zdrop_ref[:]
-            t_abs = base + lanes
+            # window-relative int16 lane index: every per-row bound below is
+            # window-relative and provably inside [0, Wb) (see docstring)
+            lane16 = jax.lax.broadcasted_iota(i16, (TB, Wb), 1)
 
-            # ---- state into values (read scratch once per step) ----
-            u = u_s[:].astype(i32)
-            v = v_s[:].astype(i32)
-            x = x_s[:].astype(i32)
-            y = y_s[:].astype(i32)
-            x2 = x2_s[:].astype(i32)
-            y2 = y2_s[:].astype(i32)
-            s = s_s[:].astype(i32)
-            H = H_s[:]
+            # ---- state into int8 values (read scratch once per step) ----
+            u = u_s[:]
+            v = v_s[:]
+            x = x_s[:]
+            y = y_s[:]
+            x2 = x2_s[:]
+            y2 = y2_s[:]
+            s = s_s[:]
+            H = H_s[:] if not approx_max else None
             acc = acc_s[:]
             accv = {kk: acc[:, ii:ii + 1] for kk, ii in IDX.items()}
             done = accv["done"]
             zdr = accv["zdr"]
 
-            # ---- per-step query/target rows ----
-            # sfv is constant within the step; qv slides one lane per row:
-            # a pre-rotated 384-wide block makes each row's fill column a
-            # static slice
-            def dyn_row(ref, off):
+            # ---- per-step query/target rows (int8) ----
+            # qv slides one lane per row; loading a window-aligned block of
+            # width Wb + ROWS once per step makes every row's query vector a
+            # STATIC slice of it (no per-row rotate chain).
+            QR = _round_up(Wb + ROWS + 128, 128)
+
+            def dyn_blk(ref, off, width):
                 o_al = off // 128 * 128
                 rem = off - o_al
-                blk = ref[:, pl.ds(pl.multiple_of(o_al, 128), Wb + 128)]
+                blk = ref[:, pl.ds(pl.multiple_of(o_al, 128), width)]
                 blk = blk.astype(i32)  # dynamic_rotate is 32-bit only
-                blk = pltpu.roll(blk, Wb + 128 - rem, axis=1)
-                return blk[:, :Wb]
+                blk = pltpu.roll(blk, width - rem, axis=1)
+                return blk
 
             o_q0 = QOFF - 1 - r0 + base
-            qv = dyn_row(qbuf_ref, o_q0)
-            sfv = dyn_row(sf_ref, SOFF + base)
-            # fill block: columns o_q0 - j for j = 1..ROWS-1
-            QW = _round_up(ROWS + 256, 128)
-            o_f = o_q0 - ROWS
-            o_al = o_f // 128 * 128
-            rem = o_f - o_al
-            fblk = qbuf_ref[:, pl.ds(pl.multiple_of(o_al, 128), QW)]
-            fblk = fblk.astype(i32)
-            fblk = pltpu.roll(fblk, QW - rem, axis=1)
-            # column (o_q0 - j) now lives at static index ROWS - j
+            qblk = dyn_blk(qbuf_ref, o_q0 - (ROWS - 1), QR).astype(i8)
+            sfv = dyn_blk(sf_ref, SOFF + base, Wb + 128)[:, :Wb].astype(i8)
 
-            if W8_IDENTITY:
-                # every recurrence intermediate provably fits int8 for this
-                # scoring profile (static bound check below), so the
-                # wrap-to-int8 points are identities and computing directly
-                # in i32 is bit-exact (asserted by the parity suite)
-                w8 = lambda a: a
-            else:
-                # wide-gap profiles (e.g. asm5's O2=81) can push b2n past
-                # +127: reproduce the oracle's int8 wraps exactly
-                w8 = lambda a: a.astype(i8).astype(i32)
-            lane0 = lanes == 0
+            if not approx_max:
+                t_abs = base + lanes
 
-            def lane_val(arr, pos):  # value at t == pos per row, masked reduce
-                return jnp.sum(jnp.where(t_abs == pos, arr, 0), axis=1,
-                               keepdims=True)
+                def lane_val32(arr, pos):  # masked i32 reduce at t == pos
+                    return jnp.sum(jnp.where(t_abs == pos, arr, 0), axis=1,
+                                   keepdims=True)
+
+            def lane_val8(arr8, rel16):
+                # int8 value at window-relative lane rel16 (identity -128:
+                # exact even when the stored value is -128 itself)
+                return jnp.max(
+                    jnp.where(lane16 == rel16, arr8, jnp.int8(-128)),
+                    axis=1, keepdims=True).astype(i32)
+
+            def rel16(pos32):
+                return pos32.astype(i16)
 
             for j in range(ROWS):
                 r = r0 + j
-                if j > 0:
-                    colv = fblk[:, ROWS - j:ROWS - j + 1]
-                    qv = jnp.where(lane0, colv, jnp.roll(qv, 1, axis=1))
+                # row's query vector: static slice of the step block
+                qv = qblk[:, ROWS - 1 - j:ROWS - 1 - j + Wb]
 
                 active = jnp.logical_and(done == 0, r < qlen + tlen - 1)
                 st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1),
@@ -268,52 +271,62 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                 in_prev = jnp.logical_and(st - 1 >= stp, st - 1 <= enp)
                 in_prev = jnp.logical_and(in_prev, r >= 1)
                 use_nat = jnp.logical_and(shift16, in_prev)
-                at_st = jnp.logical_and(t_abs == st, active)
+                at_lane0 = lane16 == rel16(st - base)
+                at_st = jnp.logical_and(at_lane0, active)
                 at0 = st == 0
 
                 # ---- u[r]/y[r] boundary cell (t == r inside rounded band)
                 has_r = jnp.logical_and(
                     active, jnp.logical_and(en >= r, r >= st))
-                onehot_r = jnp.logical_and(has_r, t_abs == r)
+                # r - base can exceed int16 when r is far past the window
+                # top; clamp to the harmless in-window-impossible sentinel
+                rel_r = rel16(jnp.clip(r - base, -1, 32767))
+                onehot_r = jnp.logical_and(has_r, lane16 == rel_r)
                 ub = ubound(r)
-                y = jnp.where(onehot_r, jnp.int32(init_xy), y)
-                y2 = jnp.where(onehot_r, jnp.int32(init_xy2), y2)
-                u = jnp.where(onehot_r, ub, u)
+                ub8 = ub.astype(i8)
+                y = jnp.where(onehot_r, init_xy, y)
+                y2 = jnp.where(onehot_r, init_xy2, y2)
+                u = jnp.where(onehot_r, ub8, u)
 
                 # ---- score row over the covered chunk ----
                 cover_last = st0 + (en0 - st0) // 16 * 16 + 15
                 s_mask = jnp.logical_and(
-                    active, jnp.logical_and(t_abs >= st0,
-                                            t_abs <= cover_last))
+                    active, jnp.logical_and(lane16 >= rel16(st0 - base),
+                                            lane16 <= rel16(cover_last
+                                                            - base)))
                 sc = jnp.where(
                     jnp.logical_or(sfv == 4, qv == 4),
-                    jnp.int32(-e2 if sc_n is None else sc_n),
-                    jnp.where(sfv == qv, jnp.int32(sc_mch),
-                              jnp.int32(sc_mis)),
+                    jnp.int8(-e2 if sc_n is None else sc_n),
+                    jnp.where(sfv == qv, jnp.int8(sc_mch),
+                              jnp.int8(sc_mis)),
                 )
                 s = jnp.where(s_mask, sc, s)
 
                 # ---- core recurrence over the rounded band [st, en] ----
+                # native wrapping int8, exactly the SSE kernel's lanes
                 band_mask = jnp.logical_and(
-                    active, jnp.logical_and(t_abs >= st, t_abs <= en))
+                    active, jnp.logical_and(lane16 >= rel16(st - base),
+                                            lane16 <= rel16(en - base)))
+
+                lane0 = lane16 == 0
 
                 def shl1(a, fill):
-                    return jnp.where(lane0, fill, jnp.roll(a, 1, axis=1))
+                    return jnp.where(lane0, fill, pltpu.roll(a, 1, axis=1))
 
-                xt1 = shl1(x, jnp.int32(init_xy))
-                x2t1 = shl1(x2, jnp.int32(init_xy2))
-                vt1 = shl1(v, jnp.int32(init_xy))
+                xt1 = shl1(x, init_xy)
+                x2t1 = shl1(x2, init_xy2)
+                vt1 = shl1(v, init_xy)
                 no_nat = jnp.logical_and(at_st, jnp.logical_not(use_nat))
-                xt1 = jnp.where(no_nat, jnp.int32(init_xy), xt1)
-                x2t1 = jnp.where(no_nat, jnp.int32(init_xy2), x2t1)
-                vt1 = jnp.where(no_nat, jnp.int32(init_xy), vt1)
-                vt1 = jnp.where(jnp.logical_and(at_st, at0), ub, vt1)
+                xt1 = jnp.where(no_nat, init_xy, xt1)
+                x2t1 = jnp.where(no_nat, init_xy2, x2t1)
+                vt1 = jnp.where(no_nat, init_xy, vt1)
+                vt1 = jnp.where(jnp.logical_and(at_st, at0), ub8, vt1)
 
                 z = s
-                a_ = w8(xt1 + vt1)
-                b_ = w8(y + u)
-                a2_ = w8(x2t1 + vt1)
-                b2_ = w8(y2 + u)
+                a_ = xt1 + vt1
+                b_ = y + u
+                a2_ = x2t1 + vt1
+                b2_ = y2 + u
                 if not with_cigar:
                     z = jnp.maximum(z, a_)
                     z = jnp.maximum(z, b_)
@@ -321,48 +334,49 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                     z = jnp.maximum(z, b2_)
                     d = None
                 elif not right_gaps:
-                    d = jnp.where(a_ > z, 1, 0).astype(i32)
+                    d = jnp.where(a_ > z, jnp.int8(1), jnp.int8(0))
                     z = jnp.maximum(z, a_)
-                    d = jnp.where(b_ > z, 2, d)
+                    d = jnp.where(b_ > z, jnp.int8(2), d)
                     z = jnp.maximum(z, b_)
-                    d = jnp.where(a2_ > z, 3, d)
+                    d = jnp.where(a2_ > z, jnp.int8(3), d)
                     z = jnp.maximum(z, a2_)
-                    d = jnp.where(b2_ > z, 4, d)
+                    d = jnp.where(b2_ > z, jnp.int8(4), d)
                     z = jnp.maximum(z, b2_)
                 else:
-                    d = jnp.where(z > a_, 0, 1).astype(i32)
+                    d = jnp.where(z > a_, jnp.int8(0), jnp.int8(1))
                     z = jnp.maximum(z, a_)
-                    d = jnp.where(z > b_, d, 2)
+                    d = jnp.where(z > b_, d, jnp.int8(2))
                     z = jnp.maximum(z, b_)
-                    d = jnp.where(z > a2_, d, 3)
+                    d = jnp.where(z > a2_, d, jnp.int8(3))
                     z = jnp.maximum(z, a2_)
-                    d = jnp.where(z > b2_, d, 4)
+                    d = jnp.where(z > b2_, d, jnp.int8(4))
                     z = jnp.maximum(z, b2_)
-                z = jnp.minimum(z, jnp.int32(sc_mch))
-                u_new = w8(z - vt1)
-                v_new = w8(z - u)
-                zq = w8(z - q)
-                zq2 = w8(z - q2)
-                an = w8(a_ - zq)
-                bn = w8(b_ - zq)
-                a2n = w8(a2_ - zq2)
-                b2n = w8(b2_ - zq2)
+                z = jnp.minimum(z, jnp.int8(sc_mch))
+                u_new = z - vt1
+                v_new = z - u
+                zq = z - jnp.int8(q)
+                zq2 = z - jnp.int8(q2)
+                an = a_ - zq
+                bn = b_ - zq
+                a2n = a2_ - zq2
+                b2n = b2_ - zq2
+                zero8 = jnp.int8(0)
                 if not right_gaps:
                     ax_, bx_, a2x_, b2x_ = an > 0, bn > 0, a2n > 0, b2n > 0
                 else:
-                    ax_ = jnp.logical_not(0 > an)
-                    bx_ = jnp.logical_not(0 > bn)
-                    a2x_ = jnp.logical_not(0 > a2n)
-                    b2x_ = jnp.logical_not(0 > b2n)
-                x_new = w8(jnp.where(ax_, an, 0) - qe)
-                y_new = w8(jnp.where(bx_, bn, 0) - qe)
-                x2_new = w8(jnp.where(a2x_, a2n, 0) - (q2 + e2))
-                y2_new = w8(jnp.where(b2x_, b2n, 0) - (q2 + e2))
+                    ax_ = jnp.logical_not(zero8 > an)
+                    bx_ = jnp.logical_not(zero8 > bn)
+                    a2x_ = jnp.logical_not(zero8 > a2n)
+                    b2x_ = jnp.logical_not(zero8 > b2n)
+                x_new = jnp.where(ax_, an, zero8) - jnp.int8(qe)
+                y_new = jnp.where(bx_, bn, zero8) - jnp.int8(qe)
+                x2_new = jnp.where(a2x_, a2n, zero8) - jnp.int8(q2 + e2)
+                y2_new = jnp.where(b2x_, b2n, zero8) - jnp.int8(q2 + e2)
                 if with_cigar:
-                    d = d | jnp.where(ax_, 0x08, 0).astype(i32)
-                    d = d | jnp.where(bx_, 0x10, 0).astype(i32)
-                    d = d | jnp.where(a2x_, 0x20, 0).astype(i32)
-                    d = d | jnp.where(b2x_, 0x40, 0).astype(i32)
+                    d = d | jnp.where(ax_, jnp.int8(0x08), zero8)
+                    d = d | jnp.where(bx_, jnp.int8(0x10), zero8)
+                    d = d | jnp.where(a2x_, jnp.int8(0x20), zero8)
+                    d = d | jnp.where(b2x_, jnp.int8(0x40), zero8)
 
                 u = jnp.where(band_mask, u_new, u)
                 v = jnp.where(band_mask, v_new, v)
@@ -372,7 +386,8 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                 y2 = jnp.where(band_mask, y2_new, y2)
 
                 if with_cigar:
-                    dirs_ref[j, :, :] = jnp.where(band_mask, d, 0).astype(u8)
+                    dirs_ref[j, :, :] = jnp.where(band_mask, d,
+                                                  zero8).astype(u8)
 
                 mx = accv["mx"]
                 max_q = accv["max_q"]
@@ -384,16 +399,18 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                     mqe_t = accv["mqe_t"]
                     mte = accv["mte"]
                     mte_q = accv["mte_q"]
-                    H_en0_prev = lane_val(H, en0)
-                    H_en0m1_prev = lane_val(H, en0 - 1)
-                    u_en0 = lane_val(u, en0)
-                    v_en0 = lane_val(v, en0)
+                    vi = v.astype(i32)
+                    ui = u.astype(i32)
+                    H_en0_prev = lane_val32(H, en0)
+                    H_en0m1_prev = lane_val32(H, en0 - 1)
+                    u_en0 = lane_val32(ui, en0)
+                    v_en0 = lane_val32(vi, en0)
                     Hen0_new = jnp.where(en0 >= 1, H_en0m1_prev + u_en0,
                                          H_en0_prev + v_en0)
                     upd_mask = jnp.logical_and(t_abs >= st0, t_abs < en0)
-                    H_upd = jnp.where(upd_mask, H + v, H)
+                    H_upd = jnp.where(upd_mask, H + vi, H)
                     H_upd = jnp.where(t_abs == en0, Hen0_new, H_upd)
-                    H_r0 = jnp.where(t_abs == 0, v - qe, H)
+                    H_r0 = jnp.where(t_abs == 0, vi - qe, H)
                     H_new = jnp.where(r == 0, H_r0, H_upd)
                     H = jnp.where(active, H_new, H)
 
@@ -417,11 +434,12 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                     max_H = jax.lax.shift_right_arithmetic(Kmax, 14)
                     max_tv = jnp.sum(jnp.where(K == Kmax, t_abs, 0), axis=1,
                                      keepdims=True)
-                    max_H = jnp.where(r == 0, lane_val(H, 0), max_H)
+                    max_H = jnp.where(r == 0, lane_val32(H, 0), max_H)
                     max_tv = jnp.where(r == 0, 0, max_tv)
 
-                    H_en0_now = jnp.where(r == 0, lane_val(H, en0), Hen0_new)
-                    H_st0_now = lane_val(H, st0)
+                    H_en0_now = jnp.where(r == 0, lane_val32(H, en0),
+                                          Hen0_new)
+                    H_st0_now = lane_val32(H, st0)
                     mte_upd = jnp.logical_and(
                         active, jnp.logical_and(en0 == tlen - 1,
                                                 H_en0_now > mte))
@@ -464,8 +482,8 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                 else:
                     H0 = accv["H0"]
                     lH0t = accv["lH0t"]
-                    d0 = lane_val(v, lH0t)
-                    d1 = lane_val(u, lH0t + 1)
+                    d0 = lane_val8(v, rel16(lH0t - base))
+                    d1 = lane_val8(u, rel16(lH0t + 1 - base))
                     both_in = jnp.logical_and(
                         jnp.logical_and(lH0t >= st0, lH0t <= en0),
                         jnp.logical_and(lH0t + 1 >= st0, lH0t + 1 <= en0))
@@ -476,7 +494,8 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                     lH0t_new = jnp.where(
                         jnp.logical_and(both_in, d1 > d0), lH0t + 1,
                         jnp.where(only_cur, lH0t, lH0t + 1))
-                    H0_new = jnp.where(r == 0, lane_val(v, 0) - qe, H0_new)
+                    H0_new = jnp.where(
+                        r == 0, lane_val8(v, rel16(0 - base)) - qe, H0_new)
                     lH0t_new = jnp.where(r == 0, 0, lH0t_new)
                     H0 = jnp.where(active, H0_new, H0)
                     lH0t = jnp.where(active, lH0t_new, lH0t)
@@ -519,13 +538,13 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                 accv["done"] = done
 
             # ---- write state back (once per step) ----
-            u_s[:] = u.astype(i8)
-            v_s[:] = v.astype(i8)
-            x_s[:] = x.astype(i8)
-            y_s[:] = y.astype(i8)
-            x2_s[:] = x2.astype(i8)
-            y2_s[:] = y2.astype(i8)
-            s_s[:] = s.astype(i8)
+            u_s[:] = u
+            v_s[:] = v
+            x_s[:] = x
+            y_s[:] = y
+            x2_s[:] = x2
+            y2_s[:] = y2
+            s_s[:] = s
             if not approx_max:
                 H_s[:] = H
             pad = jnp.zeros((TB, 4), i32)
@@ -615,6 +634,7 @@ def _compiled_extd_pallas(B, TB, Lq, Lt, R, Wb, q, e, q2, e2, W_MAX,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
+        interpret=_interpret(),
     )
     return jax.jit(call), (WQ, WT, QOFF, SOFF)
 
@@ -844,6 +864,7 @@ def _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=None, BROWS=1):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
+        interpret=_interpret(),
     )
     return jax.jit(call)
 
@@ -1847,5 +1868,6 @@ def _compiled_extz_pallas(B, TB, Lq, Lt, R, Wb, q, e, W_MAX, approx_max,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
+        interpret=_interpret(),
     )
     return jax.jit(call), (WQ, WT, QOFF, SOFF)
