@@ -7,8 +7,10 @@ from __future__ import annotations
 
 import sys
 
+import numpy as np
+
 from . import __version__, enable_compile_cache
-from .index.build import build_index, load_weight_set
+from .index.build import build_index, load_weight_bloom, load_weight_set
 from .io.fastx import read_all
 from .io.sam import sam_header
 from .map.pipeline import map_file
@@ -84,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
     out_path = None
     rg = None
     w_file = None
+    bloom_mode = False
     idx_dump = None
     tpu_batch = False
     junc_bed = None
@@ -107,6 +110,8 @@ def main(argv: list[str] | None = None) -> int:
             i += 1  # handled in first pass
         elif a == "-W":
             w_file = take()
+        elif a == "--bloom-filter":
+            bloom_mode = True
         elif a == "-d":
             idx_dump = take()
         elif a == "-T":
@@ -256,8 +261,19 @@ def main(argv: list[str] | None = None) -> int:
     out = open(out_path, "w") if out_path else sys.stdout
 
     phase_log("main", "reading downweighted kmers")
-    wset = load_weight_set(w_file, io.k)
-    phase_log("main", f"collected downweighted kmers, no. of kmers read={len(wset)}")
+    if bloom_mode:
+        # strict-parity membership: the reference's bloom filter, false
+        # positives included (reference src/index.c:410-437); default is
+        # the exact set (no FPs -- strictly better weighting)
+        bloom = load_weight_bloom(w_file, io.k)
+        wset = np.zeros(0, np.uint64)
+        n_in = sum(1 for line in open(w_file)) if w_file else 0
+        phase_log("main", f"collected downweighted kmers into a bloom "
+                          f"filter, no. of kmers read={n_in}")
+    else:
+        bloom = None
+        wset = load_weight_set(w_file, io.k)
+        phase_log("main", f"collected downweighted kmers, no. of kmers read={len(wset)}")
 
     target = pos[0]
     queries = pos[1:]
@@ -270,7 +286,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         records = read_all(target)
         mi = build_index(records, io.w, io.k, io.flag, wset,
-                         bool(io.flag & 1))
+                         bool(io.flag & 1), weight_bloom=bloom)
     phase_log("index", mi.stat_line())
     update_mid_occ(mo, mi)
 

@@ -43,6 +43,11 @@ class MinimizerIndex:
     codes: np.ndarray = None  # uint8
     # exact down-weighted k-mer set (sorted canonical codes)
     wset: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint64))
+    # --bloom-filter strict-parity mode: (table u8, table_bits, salt0,
+    # salt1) emulating the reference's bloom membership incl. its false
+    # positives (wm_bloom.cpp; reference src/index.c:410-437).  None =
+    # exact-set membership (our default: no FPs, better weighting).
+    bloom: tuple | None = None
     index_part: int = 0
     # per-rid splice-junction intervals (reference mm_idx_intv_t, loaded
     # from BED via read_bed): dict rid -> (st, en, strand) int64 arrays
@@ -170,6 +175,40 @@ def bed_junc(mi: MinimizerIndex, rid: int, st: int, en: int):
     return out
 
 
+def load_weight_bloom(path: str | None, k: int) -> tuple | None:
+    """Load a meryl-style k-mer list into a reference-exact bloom filter
+    (strict-parity mode; reference src/index.c:410-437: projected =
+    max(n, 1000), p = 0.001, <= 2 hashes).  Returns (table u8 array,
+    table_bits, salt0, salt1), or None for no list."""
+    import ctypes
+
+    if not path:
+        return None
+    codes = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            kmer = parts[0]
+            if len(kmer) != k:
+                raise ValueError(
+                    f"k-mer list {path} has k={len(kmer)}, expected {k}")
+            codes.append(native.encode_kmer(kmer.encode()))
+    arr = np.array(codes, dtype=np.uint64)
+    L = native.lib()
+    bits = ctypes.c_uint64()
+    s0 = ctypes.c_uint32()
+    s1 = ctypes.c_uint32()
+    L.wm_bloom_params(max(len(arr), 1), ctypes.byref(bits), ctypes.byref(s0),
+                      ctypes.byref(s1))
+    table = np.zeros(int(bits.value) // 8, np.uint8)
+    if len(arr):
+        L.wm_bloom_build(np.ascontiguousarray(arr), len(arr),
+                         bits.value, s0.value, s1.value, table)
+    return (table, int(bits.value), int(s0.value), int(s1.value))
+
+
 def load_weight_set(path: str | None, k: int) -> np.ndarray:
     """Read a meryl-style 'KMER<TAB>count' list into a sorted canonical-code
     array (reference reads it into a bloom filter, src/index.c:388-437; we
@@ -199,12 +238,15 @@ def build_index(
     flag: int = 0,
     weight_set: np.ndarray | None = None,
     is_hpc: bool = False,
+    weight_bloom: tuple | None = None,
 ) -> MinimizerIndex:
     """Build the flat sorted index from SeqRecords (reference mm_idx_gen +
-    mm_idx_post, src/index.c:289-360,200-257)."""
+    mm_idx_post, src/index.c:289-360,200-257).  weight_bloom selects the
+    reference-exact bloom membership (load_weight_bloom)."""
     mi = MinimizerIndex(w=w, k=k, flag=flag)
     if weight_set is not None:
         mi.wset = weight_set
+    mi.bloom = weight_bloom
     xs, ys = [], []
     total = 0
     for rid, rec in enumerate(records):
@@ -212,11 +254,13 @@ def build_index(
         total += len(rec.seq)
     import os
 
+    from ..map.batch import _use_device
+
     # genome-scale sketching routes through the device kernel (murmur,
     # membership, k-mer roll on the TPU -- sketch/device.py) when a device
     # is present; the native oracle is the fallback and the differential
     # (identical output, tests/test_sketch.py::test_device_sketch_parity)
-    use_dev = (os.environ.get("WM_NO_TPU", "") == ""
+    use_dev = (_use_device()
                and os.environ.get("WM_NO_DEV_SKETCH", "") == ""
                and total >= 1_000_000)
     if use_dev:
@@ -228,7 +272,8 @@ def build_index(
         s = mi.seqs[rid]
         codes[s.offset : s.offset + s.length] = encode(rec.seq)
         if s.length > 0:
-            x, y = _sketch(rec.seq, w, k, rid, is_hpc, mi.wset)
+            x, y = _sketch(rec.seq, w, k, rid, is_hpc, mi.wset,
+                           bloom=mi.bloom)
             xs.append(x)
             ys.append(y)
     mi.codes = codes

@@ -42,6 +42,13 @@ def dump_index(mi: MinimizerIndex, path: str) -> None:
         _write_arr(f, mi.pos)
         _write_arr(f, mi.codes)
         _write_arr(f, mi.wset)
+        if mi.bloom is not None:
+            table, bits, s0, s1 = mi.bloom
+            f.write(struct.pack("<B", 1))
+            f.write(struct.pack("<QII", bits, s0, s1))
+            _write_arr(f, np.ascontiguousarray(table, np.uint8))
+        else:
+            f.write(struct.pack("<B", 0))
 
 
 def load_index(path: str) -> MinimizerIndex:
@@ -62,6 +69,11 @@ def load_index(path: str) -> MinimizerIndex:
         mi.pos = _read_arr(f)
         mi.codes = _read_arr(f)
         mi.wset = _read_arr(f)
+        tag = f.read(1)
+        if tag == b"\x01":
+            bits, s0, s1 = struct.unpack("<QII", f.read(16))
+            table = _read_arr(f)
+            mi.bloom = (table, bits, s0, s1)
     return mi
 
 

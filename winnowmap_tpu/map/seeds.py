@@ -24,7 +24,8 @@ def collect_minimizers(opt, mi, qlens, seqs):
     xs, ys = [], []
     total = 0
     for i, (qlen, seq) in enumerate(zip(qlens, seqs)):
-        x, y = native.sketch(seq, mi.w, mi.k, i, bool(mi.flag & 1), mi.wset)
+        x, y = native.sketch(seq, mi.w, mi.k, i, bool(mi.flag & 1), mi.wset,
+                             bloom=getattr(mi, "bloom", None))
         if opt.sdust_thres > 0:
             x, y = dust_minimizers(x, y, seq, opt.sdust_thres)
         y = y + np.uint64(total << 1)

@@ -18,7 +18,8 @@ import numpy as np
 
 _SRC_DIR = Path(__file__).parent / "src"
 _BUILD_DIR = Path(__file__).parent / "_build"
-_SOURCES = ["wm_ksw.cpp", "wm_chain.cpp", "wm_sketch.cpp", "wm_fastx.cpp",
+_SOURCES = ["wm_ksw.cpp", "wm_chain.cpp", "wm_sketch.cpp", "wm_bloom.cpp",
+            "wm_fastx.cpp",
             "wm_meryl.cpp",
             "wm_cigar.cpp", "wm_sdust.cpp", "wm_engine.cpp"]
 
@@ -140,9 +141,24 @@ def lib() -> ctypes.CDLL:
         L.wm_sketch.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_uint32, ctypes.c_int, u64p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint32,
+            ctypes.c_uint32,
             ctypes.POINTER(pu64), ctypes.POINTER(pu64),
         ]
         L.wm_sketch.restype = ctypes.c_int64
+        L.wm_bloom_params.argtypes = [
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32)]
+        L.wm_bloom_build.argtypes = [
+            u64p, ctypes.c_int64, ctypes.c_uint64, ctypes.c_uint32,
+            ctypes.c_uint32, u8p]
+        L.wm_bloom_contains.argtypes = [
+            ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_uint32,
+            ctypes.c_uint32]
+        L.wm_bloom_contains.restype = ctypes.c_int
+        L.wm_bloom_contains_batch.argtypes = [
+            u64p, ctypes.c_int64, u8p, ctypes.c_uint64, ctypes.c_uint32,
+            ctypes.c_uint32, u8p]
         L.wm_encode_kmer.argtypes = [ctypes.c_char_p, ctypes.c_int]
         L.wm_encode_kmer.restype = ctypes.c_uint64
         L.wm_free.argtypes = [ctypes.c_void_p]
@@ -189,6 +205,17 @@ def lib() -> ctypes.CDLL:
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ]
         L.wm_rle_ops.restype = None
+        L.wm_rle_ops4.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            u8p, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
+        L.wm_rle_ops4.restype = None
 
         L.wm_fastx_open.argtypes = [ctypes.c_char_p]
         L.wm_fastx_open.restype = ctypes.c_void_p
@@ -246,6 +273,14 @@ def lib() -> ctypes.CDLL:
                                      ctypes.c_void_p, ctypes.c_void_p,
                                      ctypes.c_void_p, ctypes.c_void_p,
                                      ctypes.c_void_p]
+        L.wm_eng_set_chain_min.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        L.wm_eng_step_chains.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))]
+        L.wm_eng_step_chains.restype = ctypes.c_int64
+        L.wm_eng_deliver_chain.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p]
         L.wm_eng_run_host_ids.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                           ctypes.c_void_p]
         L.wm_eng_result.argtypes = [ctypes.c_void_p, ctypes.c_int,
@@ -289,8 +324,9 @@ class EngIndexC(ctypes.Structure):
         ("keys", ctypes.c_void_p), ("start", ctypes.c_void_p),
         ("pos", ctypes.c_void_p), ("codes", ctypes.c_void_p),
         ("seq_off", ctypes.c_void_p), ("seq_len", ctypes.c_void_p),
-        ("wset", ctypes.c_void_p),
+        ("wset", ctypes.c_void_p), ("bloom", ctypes.c_void_p),
         ("n_keys", ctypes.c_int64), ("n_wset", ctypes.c_int64),
+        ("bloom_bits", ctypes.c_uint64), ("bloom_salts", ctypes.c_uint64),
         ("n_seq", ctypes.c_int32), ("w", ctypes.c_int32),
         ("k", ctypes.c_int32), ("idx_flag", ctypes.c_int32),
     ]
@@ -430,13 +466,21 @@ def chain_dp(ax, ay, *, max_dist_x, min_dist_x, max_dist_y, bw, max_skip,
 
 
 def sketch(seq: bytes, w: int, k: int, rid: int, is_hpc: bool,
-           wset: np.ndarray | None = None):
-    """Exact weighted-minimizer sketch.  Returns (x, y) uint64 arrays."""
+           wset: np.ndarray | None = None, bloom=None):
+    """Exact weighted-minimizer sketch.  Returns (x, y) uint64 arrays.
+    bloom: optional (table u8, table_bits, salt0, salt1) for the
+    --bloom-filter strict-parity membership mode (wm_bloom.cpp)."""
     L = lib()
     wset = _EMPTY_U64 if wset is None or len(wset) == 0 else np.ascontiguousarray(wset, dtype=np.uint64)
     px = ctypes.POINTER(ctypes.c_uint64)()
     py = ctypes.POINTER(ctypes.c_uint64)()
+    if bloom is not None:
+        bt, bbits, s0, s1 = bloom
+        bp = np.ascontiguousarray(bt, np.uint8).ctypes.data_as(ctypes.c_void_p)
+    else:
+        bp, bbits, s0, s1 = None, 0, 0, 0
     n = L.wm_sketch(seq, len(seq), w, k, rid, int(is_hpc), wset, len(wset),
+                    bp, bbits, s0, s1,
                     ctypes.byref(px), ctypes.byref(py))
     if n == 0:
         return _EMPTY_U64, _EMPTY_U64
@@ -577,6 +621,33 @@ def rle_ops_batch(packed, i_fin, j_fin, rev_flags):
         out = np.empty(cap, dtype=np.uint32)
         L.wm_rle_ops(packed, cols, n, cols, i_fin, j_fin, rev_flags, out,
                      cap, out_len, out_off)
+        if n == 0 or out_len.min() >= 0:
+            break
+        cap = min(cap * 4, hard_cap)
+    res = []
+    for r in range(n):
+        o = out_off[r]
+        res.append(out[o:o + out_len[r]].copy())
+    return res
+
+
+def rle_ops_batch4(packed, i_fin, j_fin, rev_flags, min_intron):
+    """rle_ops_batch for 4-bit-packed walks (spliced kernel: intron op 3,
+    idle 15); min_intron applies ksw_backtrack's leading-remainder N rule."""
+    L = lib()
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    n, cols = packed.shape
+    i_fin = np.ascontiguousarray(i_fin, dtype=np.int32)
+    j_fin = np.ascontiguousarray(j_fin, dtype=np.int32)
+    rev_flags = np.ascontiguousarray(rev_flags, dtype=np.uint8)
+    cap = max(4096, (int(cols) + 8) * max(n, 1))
+    hard_cap = int(cols * 2 + 8) * max(n, 1)
+    out_len = np.empty(n, dtype=np.int32)
+    out_off = np.empty(n, dtype=np.int64)
+    while True:
+        out = np.empty(cap, dtype=np.uint32)
+        L.wm_rle_ops4(packed, cols, n, cols, i_fin, j_fin, rev_flags,
+                      int(min_intron), out, cap, out_len, out_off)
         if n == 0 or out_len.min() >= 0:
             break
         cap = min(cap * 4, hard_cap)

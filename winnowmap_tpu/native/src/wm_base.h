@@ -40,6 +40,12 @@ typedef struct {
   uint32_t* cigar;  // BAM packed ops, owned by the callee (wm_free)
 } wm_ext_result;
 
+// Reference-exact bloom emulation (wm_bloom.cpp; --bloom-filter parity
+// mode): shared with the sketch membership and the map engine.
+extern "C" int wm_bloom_contains(uint64_t key, const uint8_t* table,
+                                 uint64_t table_bits, uint32_t s0,
+                                 uint32_t s1);
+
 extern "C" {
 
 void* wm_malloc(size_t n);

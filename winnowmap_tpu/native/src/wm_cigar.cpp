@@ -357,4 +357,44 @@ void wm_rle_ops(const uint8_t* packed, int64_t stride, int64_t n_rows,
   }
 }
 
+// 4-bit-packed variant (2 ops/byte, idle 15) for the spliced kernel whose
+// op alphabet includes the intron op 3; min_intron applies the reference's
+// leading-remainder rule (ksw_backtrack src/ksw2.h:148: an i-remainder of
+// length >= min_intron_len becomes one 'N' run).
+void wm_rle_ops4(const uint8_t* packed, int64_t stride, int64_t n_rows,
+                 int64_t cols2, const int32_t* i_fin, const int32_t* j_fin,
+                 const uint8_t* rev_flags, int32_t min_intron, uint32_t* out,
+                 int64_t out_cap, int32_t* out_len, int64_t* out_off) {
+  int64_t w = 0;
+  std::vector<uint32_t> ops;
+  for (int64_t row = 0; row < n_rows; ++row) {
+    ops.clear();
+    const uint8_t* pr = packed + row * stride;
+    const int64_t n_ops_total = cols2 * 2;
+    auto push = [&](uint32_t op, uint32_t len) {
+      if (!ops.empty() && (ops.back() & 0xf) == op)
+        ops.back() += len << 4;
+      else
+        ops.push_back(len << 4 | op);
+    };
+    for (int64_t idx = n_ops_total - 1; idx >= 0; --idx) {
+      uint32_t op = (pr[idx >> 1] >> ((idx & 1) * 4)) & 15;
+      if (op != 15) push(op, 1);
+    }
+    if (i_fin[row] >= 0)
+      push(min_intron > 0 && i_fin[row] >= min_intron ? 3u : 2u,
+           (uint32_t)(i_fin[row] + 1));
+    if (j_fin[row] >= 0) push(1, (uint32_t)(j_fin[row] + 1));
+    if (!rev_flags[row]) std::reverse(ops.begin(), ops.end());
+    out_off[row] = w;
+    out_len[row] = (int32_t)ops.size();
+    if (w + (int64_t)ops.size() > out_cap) {  // caller retries with more room
+      out_len[row] = -1;
+      return;
+    }
+    std::memcpy(out + w, ops.data(), ops.size() * sizeof(uint32_t));
+    w += ops.size();
+  }
+}
+
 }  // extern "C"

@@ -57,14 +57,29 @@ inline uint64_t mix64_masked(uint64_t key, uint64_t mask) {
   return key;
 }
 
+// Down-weight membership: the exact sorted set (our default) or, in the
+// --bloom-filter strict-parity mode, the reference-exact bloom emulation
+// (wm_bloom.cpp; reference bloom_filter.hpp via src/index.c:410-437).
+struct WeightMembership {
+  const uint64_t* wset = nullptr;
+  int64_t n_wset = 0;
+  const uint8_t* bloom = nullptr;  // non-null selects bloom mode
+  uint64_t bloom_bits = 0;
+  uint32_t salt0 = 0, salt1 = 0;
+
+  bool contains(uint64_t kmer) const {
+    if (bloom)
+      return wm_bloom_contains(kmer, bloom, bloom_bits, salt0, salt1) != 0;
+    return n_wset > 0 && std::binary_search(wset, wset + n_wset, kmer);
+  }
+};
+
 // weight-adjusted selection order in [-1, 0]; smaller = more likely chosen
 // (reference applyWeight, sketch.c:70-89: flagged k-mers get -(x^8))
-inline double weight_order(uint64_t kmer, const uint64_t* wset, int64_t n_wset) {
+inline double weight_order(uint64_t kmer, const WeightMembership& wm) {
   uint64_t h = murmur_mix64(kmer);
   double x = h * 1.0 / UINT64_MAX;
-  bool flagged =
-      n_wset > 0 && std::binary_search(wset, wset + n_wset, kmer);
-  if (flagged) {
+  if (wm.contains(kmer)) {
     double p2 = x * x;
     double p4 = p2 * p2;
     return -1.0 * (p4 * p4);
@@ -95,10 +110,12 @@ extern "C" {
 //   y = rid<<32 | last_base_pos<<1 | strand
 int64_t wm_sketch(const char* str, int len, int w, int k, uint32_t rid,
                   int is_hpc, const uint64_t* wset, int64_t n_wset,
-                  uint64_t** out_x, uint64_t** out_y) {
+                  const uint8_t* bloom, uint64_t bloom_bits, uint32_t salt0,
+                  uint32_t salt1, uint64_t** out_x, uint64_t** out_y) {
   *out_x = nullptr;
   *out_y = nullptr;
   if (len <= 0 || w <= 0 || w >= 256 || k <= 0 || k > 28) return 0;
+  WeightMembership wm{wset, n_wset, bloom, bloom_bits, salt0, salt1};
   const uint8_t* nt4 = nt4_table();
   const uint64_t shift1 = 2 * (k - 1), mask = (1ULL << 2 * k) - 1;
   uint64_t kmer_f = 0, kmer_r = 0;
@@ -141,7 +158,7 @@ int64_t wm_sketch(const char* str, int len, int w, int k, uint32_t rid,
         uint64_t canon = z ? kmer_r : kmer_f;
         infox = mix64_masked(canon, mask) << 8 | kmer_span;
         infoy = (uint64_t)rid << 32 | (uint32_t)i << 1 | z;
-        info_order = weight_order(canon, wset, n_wset);
+        info_order = weight_order(canon, wm);
       }
     } else {
       l = 0;

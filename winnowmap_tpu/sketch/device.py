@@ -77,7 +77,7 @@ def _compiled_transform(k: int, is_hpc: bool):
 
 
 def _transform_device(codes: np.ndarray, wset: np.ndarray, k: int,
-                      is_hpc: bool):
+                      is_hpc: bool, bloom=None):
     import jax
 
     with jax.enable_x64():
@@ -87,7 +87,12 @@ def _transform_device(codes: np.ndarray, wset: np.ndarray, k: int,
         # host: TPU gathers over tens of millions of dynamic indices are
         # orders slower than a vectorized numpy searchsorted
         canon = np.asarray(canon)
-        if len(wset):
+        if bloom is not None:
+            # --bloom-filter parity mode: vectorized AP-hash double probe
+            # into the reference-exact bit table (wm_bloom.cpp semantics)
+            table, bits, s0, s1 = bloom
+            flagged = _bloom_contains_np(canon, table, bits, s0, s1)
+        elif len(wset):
             ws = np.ascontiguousarray(wset, np.uint64)
             idx = np.searchsorted(ws, canon)
             idxc = np.minimum(idx, len(ws) - 1)
@@ -98,8 +103,25 @@ def _transform_device(codes: np.ndarray, wset: np.ndarray, k: int,
                 np.asarray(sym), flagged)
 
 
+def _bloom_contains_np(keys: np.ndarray, table: np.ndarray, bits: int,
+                       s0: int, s1: int) -> np.ndarray:
+    """Vectorized wm_bloom_contains (reference bloom_filter.hpp hash_ap +
+    compute_indices over the 8 LE bytes of each canonical code)."""
+    i1 = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    i2 = (keys >> np.uint64(32)).astype(np.uint32)
+    out = np.ones(len(keys), bool)
+    for salt in (np.uint32(s0), np.uint32(s1)):
+        h = np.full(len(keys), salt, np.uint32)
+        h ^= ((h << np.uint32(7)) ^ (i1 * (h >> np.uint32(3)))
+              ^ (~((h << np.uint32(11)) + (i2 ^ (h >> np.uint32(5))))))
+        b = h.astype(np.uint64) % np.uint64(bits)
+        out &= (table[(b >> np.uint64(3)).astype(np.int64)]
+                >> (b & np.uint64(7)).astype(np.uint8)) & 1 == 1
+    return out
+
+
 def sketch_device(seq: bytes, w: int, k: int, rid: int, is_hpc: bool,
-                  wset: np.ndarray):
+                  wset: np.ndarray, bloom=None):
     """Sketch one sequence with the device transform + native winnowing
     automaton.  Returns (x, y) uint64 arrays identical to native.sketch."""
     from .. import native
@@ -128,7 +150,8 @@ def sketch_device(seq: bytes, w: int, k: int, rid: int, is_hpc: bool,
         skip_len = np.ones(len(codes), np.int64)
         base_pos = np.arange(len(codes), dtype=np.int64)
 
-    key, h, z, sym, flagged = _transform_device(codes, wset, k, is_hpc)
+    key, h, z, sym, flagged = _transform_device(codes, wset, k, is_hpc,
+                                                bloom=bloom)
 
     # IEEE-double selection order, bit-identical to the oracle's
     # weight_order (numpy f64 ops == C doubles)
