@@ -17,6 +17,35 @@ DATA = REPO / "tests" / "data" / "golden"
 sys.path.insert(0, str(REPO))
 
 
+_TPU_ALIVE = None
+
+
+def tpu_alive(timeout: int = 120) -> bool:
+    """Time-bounded probe of the real TPU backend.
+
+    The axon tunnel can be DOWN in a way that makes TPU client init hang
+    forever (not error), so tests that spawn un-sandboxed TPU subprocesses
+    must gate on this probe instead of discovering the hang themselves.
+    Result is cached for the pytest session.
+    """
+    global _TPU_ALIVE
+    if _TPU_ALIVE is None:
+        import subprocess
+
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "print('TPU-OK' if d[0].platform == 'tpu' else d)"],
+                capture_output=True, text=True, timeout=timeout, env=env)
+            _TPU_ALIVE = "TPU-OK" in proc.stdout
+        except subprocess.TimeoutExpired:
+            _TPU_ALIVE = False
+    return _TPU_ALIVE
+
+
 @pytest.fixture(scope="session")
 def golden_dir():
     return DATA

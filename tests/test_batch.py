@@ -100,6 +100,9 @@ TPU_SCRIPT = textwrap.dedent("""
 @pytest.mark.skipif(os.environ.get("WM_SKIP_TPU_TESTS") == "1",
                     reason="TPU tests disabled")
 def test_batch_device_parity_tpu(golden_dir):
+    from conftest import tpu_alive
+    if not tpu_alive():
+        pytest.skip("no TPU available (tunnel down or init timeout)")
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     proc = subprocess.run(

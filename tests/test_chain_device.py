@@ -70,6 +70,24 @@ def test_chain_device_parity_quick():
     _run(jobs)
 
 
+def test_chain_device_low_coordinates():
+    """Anchors within max_dist_x of position 0 on rid 0: the window-start
+    searchsorted must saturate `ax - dist` at 0 instead of wrapping the
+    unsigned subtraction (regression: every window start became n)."""
+    rng = np.random.default_rng(21)
+    jobs = []
+    for _ in range(4):
+        m = 60
+        x = np.sort(rng.integers(0, 3000, m)).astype(np.uint64)  # rid 0
+        y = (x - np.uint64(x.min())) + rng.integers(0, 9, m).astype(np.uint64)
+        span = np.full(m, 15, np.uint64)
+        ax = x  # rid 0, fwd strand: ax == low coordinates < max_dist_x
+        ay = (span << np.uint64(32)) | (y & np.uint64(0xFFFFFFFF))
+        o = np.argsort(ax, kind="stable")
+        jobs.append((ax[o], ay[o]))
+    _run(jobs)
+
+
 def test_chain_device_stage2_params():
     """Stage-2 style parameters (wide band, bigger gaps)."""
     from winnowmap_tpu.chain.device import chain_dp_device_batch

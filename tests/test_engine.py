@@ -84,6 +84,33 @@ def test_engine_matches_python_hpc(monkeypatch):
     _assert_equal(py, eng, names)
 
 
+def test_engine_matches_python_splice(monkeypatch):
+    """-x splice preset through the engine (exts host kernels, two-strand
+    trials, fix_bad_ends_splice) vs the parity-tested Python path."""
+    monkeypatch.setenv("WM_NO_TPU", "1")
+    from winnowmap_tpu.index.build import build_index, load_weight_set
+    from winnowmap_tpu.io.fastx import read_all
+    from winnowmap_tpu.map.engine import map_batch_engine
+    from winnowmap_tpu.map.frag import map_one
+    from winnowmap_tpu.options import (IndexOptions, MapOptions, MM_F_CIGAR,
+                                       MM_F_OUT_SAM, set_preset,
+                                       update_mid_occ)
+
+    io_, mo = IndexOptions(), MapOptions()
+    set_preset("splice", io_, mo)
+    mo.flag |= MM_F_CIGAR | MM_F_OUT_SAM
+    wset = load_weight_set(str(GOLD / "s_rep_k15.txt"), io_.k)
+    mi = build_index(read_all(str(GOLD / "s_ref.fa")), io_.w, io_.k,
+                     io_.flag, wset)
+    update_mid_occ(mo, mi)
+    reads = read_all(str(GOLD / "s_reads.fa"))
+    seqs = [r.seq for r in reads]
+    names = [r.name for r in reads]
+    py = [map_one(mi, mo, s, n) for s, n in zip(seqs, names)]
+    eng = map_batch_engine(mi, mo, seqs, names)
+    _assert_equal(py, eng, names)
+
+
 def test_engine_device_matches_host():
     """Engine with the TPU scheduler == engine with host kernels (and both
     == the Python path by the tests above).  Runs in a subprocess so the

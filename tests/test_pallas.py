@@ -69,6 +69,9 @@ SCRIPT = textwrap.dedent("""
 @pytest.mark.skipif(os.environ.get("WM_SKIP_TPU_TESTS") == "1",
                     reason="TPU tests disabled")
 def test_pallas_kernels_match_oracle_tpu():
+    from conftest import tpu_alive
+    if not tpu_alive():
+        pytest.skip("no TPU available (tunnel down or init timeout)")
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     proc = subprocess.run(
@@ -146,11 +149,97 @@ FRINGE_SCRIPT = textwrap.dedent("""
 """)
 
 
+EXTS_SCRIPT = textwrap.dedent("""
+    import sys
+    sys.path.insert(0, {repo!r})
+    import winnowmap_tpu
+    winnowmap_tpu.enable_compile_cache()
+    import numpy as np
+    import winnowmap_tpu.native as native
+    from winnowmap_tpu.extend.pallas_kernel import exts_pallas
+    from winnowmap_tpu.map.align import gen_simple_mat
+
+    mat = gen_simple_mat(1, 2, 1)
+    q, e, q2, noncan, jb = 2, 1, 32, 9, 9
+    rng = np.random.default_rng(5)
+
+    def mutate(t, err):
+        t = t.copy()
+        m = rng.random(len(t)) < err
+        t[m] = (t[m] + rng.integers(1, 4, m.sum())) % 4
+        return t
+
+    cases = []
+    for seed in range(8):
+        r2 = np.random.default_rng(seed)
+        qlen = int(r2.integers(100, 800))
+        qsq = r2.integers(0, 4, qlen).astype(np.uint8)
+        if seed % 2 == 0:
+            half = qlen // 2
+            ilen = int(r2.integers(60, 400))
+            intron = r2.integers(0, 4, ilen).astype(np.uint8)
+            intron[0], intron[1] = 2, 3
+            intron[-2], intron[-1] = 0, 2
+            tsq = np.concatenate([mutate(qsq[:half], 0.05), intron,
+                                  mutate(qsq[half:], 0.05)]).astype(np.uint8)
+        else:
+            tsq = r2.integers(0, 4,
+                              int(r2.integers(100, 900))).astype(np.uint8)
+        jl = None
+        if seed % 3 == 1:
+            jl = ((r2.random(len(tsq)) < 0.03).astype(np.uint8)
+                  * r2.integers(1, 16, len(tsq)).astype(np.uint8))
+        cases.append((qsq, tsq, jl))
+
+    for flag in (0x100, 0x100 | 0x18, 0x200 | 0x400,
+                 0x100 | 0x40 | 0x02 | 0x80, 0x300, 0x100 | 0x01):
+        zd = 100 if flag & 0x10 else 200
+        devs = exts_pallas([c[0] for c in cases], [c[1] for c in cases],
+                           mat, q, e, q2, noncan, zd, jb, flag,
+                           juncs=[c[2] for c in cases])
+        for i, (qsq, tsq, jl) in enumerate(cases):
+            h = native.exts(qsq, tsq, mat, q, e, q2, noncan, zd, jb, flag,
+                            junc=jl)
+            d = devs[i]
+            assert (h.max, int(h.zdropped), h.max_q, h.max_t, h.mqe,
+                    h.mqe_t, h.mte, h.mte_q, h.score) == (
+                d.max, int(d.zdropped), d.max_q, d.max_t, d.mqe,
+                d.mqe_t, d.mte, d.mte_q, d.score), (hex(flag), i)
+            if not (flag & 0x01):
+                assert np.array_equal(h.cigar, d.cigar), (hex(flag), i)
+    print("EXTS-TPU-OK")
+""")
+
+
+@pytest.mark.skipif(os.environ.get("WM_SKIP_TPU_TESTS") == "1",
+                    reason="TPU tests disabled")
+def test_exts_pallas_matches_oracle_tpu():
+    """Spliced (exts) kernel on the real chip vs the wm_exts oracle
+    (reference ksw2_exts2_sse.c semantics incl. intron CIGARs and junction
+    bonuses)."""
+    from conftest import tpu_alive
+    if not tpu_alive():
+        pytest.skip("no TPU available (tunnel down or init timeout)")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, "-c", EXTS_SCRIPT.format(repo=str(REPO))],
+        capture_output=True, text=True, timeout=1800, env=env,
+    )
+    if proc.returncode != 0 and "No TPU" in proc.stderr:
+        pytest.skip("no TPU available")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "EXTS-TPU-OK" in proc.stdout
+
+
 @pytest.mark.skipif(os.environ.get("WM_FRINGE_SWEEP") != "1",
                     reason="opt-in: WM_FRINGE_SWEEP=1 (runs ~300 cases on "
                            "the real chip; the claim '300/300 fringe-heavy "
                            "parity incl. asm5/asm20' reproduces from here)")
 def test_pallas_fringe_sweep_tpu():
+    from conftest import tpu_alive
+    if not tpu_alive():
+        pytest.skip("no TPU available (tunnel down or init timeout)")
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     proc = subprocess.run(

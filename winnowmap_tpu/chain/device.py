@@ -188,14 +188,22 @@ def _compiled_chain_fwd(TB, N, W, max_dist_x, max_dist_y, bw, max_skip,
 def _window_starts(ax: np.ndarray, max_dist_x: int, min_dist_x: int,
                    max_iter: int) -> np.ndarray:
     """Per-anchor window starts (reference chain.c:45-55: max_dist_x
-    advance plus the Winnowmap keep-iterating-inside-repeats rule)."""
+    advance plus the Winnowmap keep-iterating-inside-repeats rule).
+    ax - dist saturates at 0 (anchors within dist of the reference start
+    must not wrap the unsigned subtraction)."""
     n = len(ax)
-    st0 = np.searchsorted(ax, ax - np.uint64(max_dist_x), side="left")
+
+    def below(dist):
+        d = np.uint64(dist)
+        tgt = np.where(ax >= d, ax - d, np.uint64(0))
+        return np.searchsorted(ax, tgt, side="left")
+
+    st0 = below(max_dist_x)
     idx = np.arange(n, dtype=np.int64)
     st = st0.astype(np.int64)
     over = idx - st > max_iter
     if over.any():
-        J = np.searchsorted(ax, ax - np.uint64(min_dist_x), side="left")
+        J = below(min_dist_x)
         st_over = np.minimum(idx - max_iter, J.astype(np.int64))
         st = np.where(over, np.maximum(st0, st_over), st)
     return st.astype(np.int32)
@@ -302,8 +310,10 @@ def chain_dp_auto(ax, ay, *, max_dist_x, min_dist_x, max_dist_y, bw,
     anchor sets through the device forward kernel."""
     import os
 
+    from ..map.batch import _use_device
+
     if (n_segs == 1 and len(ax) >= DEVICE_CHAIN_MIN_ANCHORS
-            and not os.environ.get("WM_NO_TPU")
+            and _use_device()
             and not os.environ.get("WM_NO_DEV_CHAIN")):
         return chain_dp_device_batch(
             [(ax, ay)], max_dist_x, min_dist_x, max_dist_y, bw, max_skip,

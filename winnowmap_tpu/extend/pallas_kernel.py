@@ -54,10 +54,87 @@ def _interpret() -> bool:
     return os.environ.get("WM_PALLAS_INTERPRET") == "1"
 
 
+def _splice_sites(jnp, sblk, jblk, t_abs, tlen, Wb, noncan, junc_bonus,
+                  spl_for, spl_rev, spl_flank, rev_motifs):
+    """Per-step donor/acceptor site scores from shifted target-block slices
+    (reference ksw2_exts2_sse.c:114-166).  sblk holds target[t-16 .. t+Wb+240)
+    as int8 codes (0-masked outside [0, tlen)); jblk the junction-annotation
+    bytes in the same layout, or None.  Returns int8 (TB, Wb) vectors with
+    the reference's exact fill/override/junc-add semantics (int8 wrap on the
+    junc_bonus add included)."""
+    i8 = jnp.int8
+
+    def sh(k):  # target[t + k] as a static slice of the block
+        return sblk[:, 16 + k:16 + k + Wb]
+
+    def jn(k):
+        return jblk[:, 16 + k:16 + k + Wb]
+
+    if not (spl_for or spl_rev):
+        z = jnp.zeros(sh(0).shape, i8)
+        return z, z
+    semi = jnp.int8(-(noncan // 2) if spl_flank else 0)
+    fill = jnp.int8(-noncan)
+    f = jnp.zeros(sh(0).shape, jnp.bool_)
+    if not rev_motifs:
+        d_can = ((sh(1) == 2) & (sh(2) == 3)) if spl_for else f
+        if spl_rev:
+            d_can = d_can | ((sh(1) == 1) & (sh(2) == 3))
+        d_can2 = d_can & ((sh(3) == 0) | (sh(3) == 2))
+        a_can = ((sh(-1) == 0) & (sh(0) == 2)) if spl_for else f
+        if spl_rev:
+            a_can = a_can | ((sh(-1) == 0) & (sh(0) == 1))
+        a_can2 = a_can & ((sh(-2) == 1) | (sh(-2) == 3))
+        d_bits, a_bits = (1, 8), (2, 4)
+    else:
+        d_can = ((sh(1) == 2) & (sh(2) == 0)) if spl_for else f
+        if spl_rev:
+            d_can = d_can | ((sh(1) == 1) & (sh(2) == 0))
+        d_can2 = d_can & ((sh(3) == 1) | (sh(3) == 3))
+        a_can = ((sh(-1) == 3) & (sh(0) == 2)) if spl_for else f
+        if spl_rev:
+            a_can = a_can | ((sh(-1) == 3) & (sh(0) == 1))
+        a_can2 = a_can & ((sh(-2) == 0) | (sh(-2) == 2))
+        d_bits, a_bits = (2, 4), (1, 8)
+    # site loops cover t in [0, tlen-4) for donors, [2, tlen) for acceptors
+    d_can = d_can & (t_abs >= 0) & (t_abs < tlen - 4)
+    d_can2 = d_can2 & d_can
+    a_can = a_can & (t_abs >= 2) & (t_abs < tlen)
+    a_can2 = a_can2 & a_can
+    donor = jnp.where(d_can2, jnp.int8(0), jnp.where(d_can, semi, fill))
+    acceptor = jnp.where(a_can2, jnp.int8(0), jnp.where(a_can, semi, fill))
+    if jblk is not None:
+        jd = jn(1)
+        d_j = ((jd & d_bits[0]) != 0) if spl_for else f
+        if spl_rev:
+            d_j = d_j | ((jd & d_bits[1]) != 0)
+        d_j = d_j & (t_abs >= 0) & (t_abs < tlen - 1)
+        ja = jn(0)
+        a_j = ((ja & a_bits[0]) != 0) if spl_for else f
+        if spl_rev:
+            a_j = a_j | ((ja & a_bits[1]) != 0)
+        a_j = a_j & (t_abs >= 0) & (t_abs < tlen)
+        jb = jnp.int8(junc_bonus)
+        donor = jnp.where(d_j, donor + jb, donor)
+        acceptor = jnp.where(a_j, acceptor + jb, acceptor)
+    return donor, acceptor
+
+
 def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                        W_MAX, approx_max, right_gaps, with_cigar, approx_drop,
-                       sc_mch, sc_mis, sc_n, ROWS=32):
+                       sc_mch, sc_mis, sc_n, ROWS=32, splice=None):
     """Wavefront extd kernel, step-window formulation, native-int8 core.
+
+    With `splice` set this becomes the exts (spliced) kernel (reference
+    ksw_exts2_sse, src/ksw2_exts2_sse.c:26-409): the long-gap pair loses the
+    y2 state, the x2 state becomes the intron channel (opened against a
+    per-target-base donor score floor, closed with an acceptor score), the
+    band is the full anti-diagonal (no w term), long_thres follows the exts
+    formula and the z-drop gap penalty is 0.  Donor/acceptor site scores are
+    computed per step from shifted slices of the target block (and the
+    optional junction-annotation block) -- no host-side site tables.
+    splice = (noncan, junc_bonus, has_junc, spl_for, spl_rev, spl_flank,
+    rev_motifs).
 
     ROWS anti-diagonals are processed per grid step with ALL band state held
     in registers/values: scratch is read once and written once per step.
@@ -88,17 +165,38 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
     u8 = jnp.uint8
     qe = q + e
     init_xy = np.int8(-(q + e))
-    init_xy2 = np.int8(-(q2 + e2))
-    if e != e2:
-        long_thres = (q2 - q) // (e - e2) - 1
+    if splice is None:
+        init_xy2 = np.int8(-(q2 + e2))
+        if e != e2:
+            long_thres = (q2 - q) // (e - e2) - 1
+        else:
+            long_thres = 0
+        if q2 + e2 + long_thres * e2 > q + e + long_thres * e:
+            long_thres += 1
+        long_diff = np.int8(long_thres * (e - e2) - (q2 - q) - e2)
+        zdrop_e = e2  # gap-length penalty in the z-drop test
     else:
-        long_thres = 0
-    if q2 + e2 + long_thres * e2 > q + e + long_thres * e:
-        long_thres += 1
-    long_diff = np.int8(long_thres * (e - e2) - (q2 - q) - e2)
+        # exts: x2 is the intron state, opened at cost q2 against the donor
+        # floor; boundary ladder -e...long_diff...0 (reference
+        # ksw2_exts2_sse.c:88-96)
+        noncan, junc_bonus, has_junc, spl_for, spl_rev, spl_flank, \
+            rev_motifs = splice
+        init_xy2 = np.int8(-q2)
+        long_thres = (q2 - q) // e - 1
+        if q2 > q + e + long_thres * e:
+            long_thres += 1
+        long_diff = np.int8(long_thres * e - (q2 - q))
+        zdrop_e = 0
     S_STRIDE = Wb // 4 + 2  # rank stride; rank fits 14 bits for Wb <= 6500
     assert 4 * S_STRIDE + Wb + 8 < 16384, "band too wide for rank packing"
-    assert R * max(e, e2) + q + q2 < -H_CLAMP, "score range vs rank packing"
+    if splice is None:
+        assert R * max(e, e2) + q + q2 < -H_CLAMP, \
+            "score range vs rank packing"
+    else:
+        # exts H lower bound: per-row column drop <= q+e (insertion always
+        # available) plus one intron entry path q + e*Lq + q2 + 2*noncan
+        assert Lq * (q + 2 * e) + 2 * (q + q2 + 2 * abs(noncan)) + 1024 \
+            < -H_CLAMP, "splice score range vs rank packing"
     # between-step window advance is bounded by ROWS + 16 (st0c moves at
     # most 1/row); the Wb formula in the callers budgets for it
     MAX_DELTA = (ROWS + 16 + 15) // 16 * 16
@@ -109,12 +207,14 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
         return (st0c // 16) * 16 - 16
 
     def ubound(r):
-        # u[r]/v1 boundary value at t == r (reference ksw2_extd2_sse.c:150-155)
+        # u[r]/v1 boundary value at t == r (reference ksw2_extd2_sse.c:150-155;
+        # exts tail value is 0, reference ksw2_exts2_sse.c:88-96)
+        tail = jnp.int32(0) if splice is not None else jnp.int32(-e2)
         return jnp.where(
             r == 0, jnp.int32(init_xy),
             jnp.where(r < long_thres, jnp.int32(-e),
                       jnp.where(r == long_thres, jnp.int32(long_diff),
-                                jnp.int32(-e2))),
+                                tail)),
         ).astype(i32)
 
     # acc lanes: 0 mx, 1 zdr, 2 max_q, 3 max_t, 4 mqe, 5 mqe_t, 6 mte,
@@ -124,12 +224,15 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
 
     def kernel(qbuf_ref, sf_ref, qlen_ref, tlen_ref, w_ref, zdrop_ref,
                *rest):
-        if with_cigar:
-            res_ref, dirs_ref, u_s, v_s, x_s, y_s, x2_s, y2_s, \
-                s_s, H_s, acc_s = rest
+        rest = list(rest)
+        junc_ref = rest.pop(0) if (splice is not None and has_junc) else None
+        res_ref = rest.pop(0)
+        dirs_ref = rest.pop(0) if with_cigar else None
+        if splice is None:
+            u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, H_s, acc_s = rest
         else:
-            res_ref, u_s, v_s, x_s, y_s, x2_s, y2_s, s_s, H_s, acc_s = rest
-            dirs_ref = None
+            u_s, v_s, x_s, y_s, x2_s, s_s, H_s, acc_s = rest
+            y2_s = None
         k_step = pl.program_id(1)
         r0 = k_step * ROWS  # first anti-diagonal of this grid step
 
@@ -140,7 +243,8 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
             x_s[:] = jnp.full((TB, Wb), init_xy, i8)
             y_s[:] = jnp.full((TB, Wb), init_xy, i8)
             x2_s[:] = jnp.full((TB, Wb), init_xy2, i8)
-            y2_s[:] = jnp.full((TB, Wb), init_xy2, i8)
+            if y2_s is not None:
+                y2_s[:] = jnp.full((TB, Wb), init_xy2, i8)
             s_s[:] = jnp.zeros((TB, Wb), i8)
             if not approx_max:
                 H_s[:] = jnp.full((TB, Wb), NEG_INF, i32)
@@ -182,7 +286,8 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                     roll(x_s, init_xy)
                     roll(y_s, init_xy)
                     roll(x2_s, init_xy2)
-                    roll(y2_s, init_xy2)
+                    if y2_s is not None:
+                        roll(y2_s, init_xy2)
                     roll(s_s, jnp.int8(0))
                     if not approx_max:
                         roll(H_s, jnp.int32(NEG_INF))
@@ -199,7 +304,7 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
             x = x_s[:]
             y = y_s[:]
             x2 = x2_s[:]
-            y2 = y2_s[:]
+            y2 = y2_s[:] if y2_s is not None else None
             s = s_s[:]
             H = H_s[:] if not approx_max else None
             acc = acc_s[:]
@@ -223,7 +328,22 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
 
             o_q0 = QOFF - 1 - r0 + base
             qblk = dyn_blk(qbuf_ref, o_q0 - (ROWS - 1), QR).astype(i8)
-            sfv = dyn_blk(sf_ref, SOFF + base, Wb + 128)[:, :Wb].astype(i8)
+            if splice is None:
+                sfv = dyn_blk(sf_ref, SOFF + base,
+                              Wb + 128)[:, :Wb].astype(i8)
+            else:
+                # one block read covers target[t-2 .. t+3] as static slices
+                # (SOFF >= 32 so SOFF + base - 16 >= 0)
+                sblk = dyn_blk(sf_ref, SOFF + base - 16,
+                               Wb + 256).astype(i8)
+                sfv = sblk[:, 16:16 + Wb]
+                jblk = (dyn_blk(junc_ref, SOFF + base - 16,
+                                Wb + 256).astype(i32)
+                        if junc_ref is not None else None)
+                donor, acceptor = _splice_sites(
+                    jnp, sblk, jblk, base + lanes, tlen_ref[:], Wb,
+                    noncan, junc_bonus, spl_for, spl_rev, spl_flank,
+                    rev_motifs)
 
             if not approx_max:
                 t_abs = base + lanes
@@ -285,7 +405,8 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                 ub = ubound(r)
                 ub8 = ub.astype(i8)
                 y = jnp.where(onehot_r, init_xy, y)
-                y2 = jnp.where(onehot_r, init_xy2, y2)
+                if y2 is not None:
+                    y2 = jnp.where(onehot_r, init_xy2, y2)
                 u = jnp.where(onehot_r, ub8, u)
 
                 # ---- score row over the covered chunk ----
@@ -294,9 +415,10 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                     active, jnp.logical_and(lane16 >= rel16(st0 - base),
                                             lane16 <= rel16(cover_last
                                                             - base)))
+                sc_n_def = -e if splice is not None else -e2
                 sc = jnp.where(
                     jnp.logical_or(sfv == 4, qv == 4),
-                    jnp.int8(-e2 if sc_n is None else sc_n),
+                    jnp.int8(sc_n_def if sc_n is None else sc_n),
                     jnp.where(sfv == qv, jnp.int8(sc_mch),
                               jnp.int8(sc_mis)),
                 )
@@ -326,32 +448,41 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                 a_ = xt1 + vt1
                 b_ = y + u
                 a2_ = x2t1 + vt1
-                b2_ = y2 + u
+                if splice is None:
+                    a2c = a2_  # candidate competing for z
+                    b2_ = y2 + u
+                else:
+                    a2c = a2_ + acceptor  # intron close adds acceptor score
+                    b2_ = None
                 if not with_cigar:
                     z = jnp.maximum(z, a_)
                     z = jnp.maximum(z, b_)
-                    z = jnp.maximum(z, a2_)
-                    z = jnp.maximum(z, b2_)
+                    z = jnp.maximum(z, a2c)
+                    if b2_ is not None:
+                        z = jnp.maximum(z, b2_)
                     d = None
                 elif not right_gaps:
                     d = jnp.where(a_ > z, jnp.int8(1), jnp.int8(0))
                     z = jnp.maximum(z, a_)
                     d = jnp.where(b_ > z, jnp.int8(2), d)
                     z = jnp.maximum(z, b_)
-                    d = jnp.where(a2_ > z, jnp.int8(3), d)
-                    z = jnp.maximum(z, a2_)
-                    d = jnp.where(b2_ > z, jnp.int8(4), d)
-                    z = jnp.maximum(z, b2_)
+                    d = jnp.where(a2c > z, jnp.int8(3), d)
+                    z = jnp.maximum(z, a2c)
+                    if b2_ is not None:
+                        d = jnp.where(b2_ > z, jnp.int8(4), d)
+                        z = jnp.maximum(z, b2_)
                 else:
                     d = jnp.where(z > a_, jnp.int8(0), jnp.int8(1))
                     z = jnp.maximum(z, a_)
                     d = jnp.where(z > b_, d, jnp.int8(2))
                     z = jnp.maximum(z, b_)
-                    d = jnp.where(z > a2_, d, jnp.int8(3))
-                    z = jnp.maximum(z, a2_)
-                    d = jnp.where(z > b2_, d, jnp.int8(4))
-                    z = jnp.maximum(z, b2_)
-                z = jnp.minimum(z, jnp.int8(sc_mch))
+                    d = jnp.where(z > a2c, d, jnp.int8(3))
+                    z = jnp.maximum(z, a2c)
+                    if b2_ is not None:
+                        d = jnp.where(z > b2_, d, jnp.int8(4))
+                        z = jnp.maximum(z, b2_)
+                if splice is None:
+                    z = jnp.minimum(z, jnp.int8(sc_mch))  # exts has no clamp
                 u_new = z - vt1
                 v_new = z - u
                 zq = z - jnp.int8(q)
@@ -359,31 +490,40 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                 an = a_ - zq
                 bn = b_ - zq
                 a2n = a2_ - zq2
-                b2n = b2_ - zq2
                 zero8 = jnp.int8(0)
+                x2_floor = zero8 if splice is None else donor
+                if splice is None:
+                    b2n = b2_ - zq2
                 if not right_gaps:
-                    ax_, bx_, a2x_, b2x_ = an > 0, bn > 0, a2n > 0, b2n > 0
+                    ax_, bx_, a2x_ = an > 0, bn > 0, a2n > x2_floor
+                    if splice is None:
+                        b2x_ = b2n > 0
                 else:
                     ax_ = jnp.logical_not(zero8 > an)
                     bx_ = jnp.logical_not(zero8 > bn)
-                    a2x_ = jnp.logical_not(zero8 > a2n)
-                    b2x_ = jnp.logical_not(zero8 > b2n)
+                    a2x_ = jnp.logical_not(x2_floor > a2n)
+                    if splice is None:
+                        b2x_ = jnp.logical_not(zero8 > b2n)
                 x_new = jnp.where(ax_, an, zero8) - jnp.int8(qe)
                 y_new = jnp.where(bx_, bn, zero8) - jnp.int8(qe)
-                x2_new = jnp.where(a2x_, a2n, zero8) - jnp.int8(q2 + e2)
-                y2_new = jnp.where(b2x_, b2n, zero8) - jnp.int8(q2 + e2)
+                x2_cost = jnp.int8(q2 + e2) if splice is None else jnp.int8(q2)
+                x2_new = jnp.where(a2x_, a2n, x2_floor) - x2_cost
+                if splice is None:
+                    y2_new = jnp.where(b2x_, b2n, zero8) - jnp.int8(q2 + e2)
                 if with_cigar:
                     d = d | jnp.where(ax_, jnp.int8(0x08), zero8)
                     d = d | jnp.where(bx_, jnp.int8(0x10), zero8)
                     d = d | jnp.where(a2x_, jnp.int8(0x20), zero8)
-                    d = d | jnp.where(b2x_, jnp.int8(0x40), zero8)
+                    if splice is None:
+                        d = d | jnp.where(b2x_, jnp.int8(0x40), zero8)
 
                 u = jnp.where(band_mask, u_new, u)
                 v = jnp.where(band_mask, v_new, v)
                 x = jnp.where(band_mask, x_new, x)
                 y = jnp.where(band_mask, y_new, y)
                 x2 = jnp.where(band_mask, x2_new, x2)
-                y2 = jnp.where(band_mask, y2_new, y2)
+                if splice is None:
+                    y2 = jnp.where(band_mask, y2_new, y2)
 
                 if with_cigar:
                     dirs_ref[j, :, :] = jnp.where(band_mask, d,
@@ -462,7 +602,7 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                     ldiff = jnp.abs((max_tv - max_t) - ((r - max_tv) - max_q))
                     dropped = jnp.logical_and(
                         jnp.logical_and(inquad, zdrop >= 0),
-                        mx - max_H > zdrop + ldiff * e2)
+                        mx - max_H > zdrop + ldiff * zdrop_e)
                     dropped = jnp.logical_and(active, dropped)
                     zdr = jnp.where(dropped, 1, zdr)
                     done = jnp.where(dropped, 1, done)
@@ -491,8 +631,11 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                     H0_new = jnp.where(
                         both_in, H0 + jnp.maximum(d0, d1),
                         jnp.where(only_cur, H0 + d0, H0 + d1))
+                    # tie rule differs: extd advances lH0t only on d1 > d0;
+                    # exts advances on ties too (wm_exts approx branch)
+                    adv = d1 >= d0 if splice is not None else d1 > d0
                     lH0t_new = jnp.where(
-                        jnp.logical_and(both_in, d1 > d0), lH0t + 1,
+                        jnp.logical_and(both_in, adv), lH0t + 1,
                         jnp.where(only_cur, lH0t, lH0t + 1))
                     H0_new = jnp.where(
                         r == 0, lane_val8(v, rel16(0 - base)) - qe, H0_new)
@@ -500,11 +643,11 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                     H0 = jnp.where(active, H0_new, H0)
                     lH0t = jnp.where(active, lH0t_new, lH0t)
                     if approx_drop:
-                        # the oracle applies the z-drop/max bookkeeping only
-                        # for r > 0 (wm_ksw.cpp approx branch: apply_zdrop
-                        # sits inside `if (r > 0)`), so H0(0) never feeds
-                        # ez->max -- replicate exactly
-                        app = jnp.logical_and(active, r >= 1)
+                        # extd's oracle applies the z-drop/max bookkeeping
+                        # only for r > 0 (wm_ksw.cpp: apply_zdrop sits inside
+                        # `if (r > 0)`); exts applies it for every r
+                        app = (active if splice is not None
+                               else jnp.logical_and(active, r >= 1))
                         better = H0 > mx
                         mx_n = jnp.where(better, H0, mx)
                         mt_n = jnp.where(better, lH0t, max_t)
@@ -517,7 +660,7 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                         dropped = jnp.logical_and(
                             jnp.logical_and(jnp.logical_and(app, inquad),
                                             zdrop >= 0),
-                            mx - H0 > zdrop + ldiff * e2)
+                            mx - H0 > zdrop + ldiff * zdrop_e)
                         zdr = jnp.where(dropped, 1, zdr)
                         done = jnp.where(dropped, 1, done)
                         mx = jnp.where(app, mx_n, mx)
@@ -543,7 +686,8 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
             x_s[:] = x
             y_s[:] = y
             x2_s[:] = x2
-            y2_s[:] = y2
+            if y2_s is not None:
+                y2_s[:] = y2
             s_s[:] = s
             if not approx_max:
                 H_s[:] = H
@@ -639,6 +783,82 @@ def _compiled_extd_pallas(B, TB, Lq, Lt, R, Wb, q, e, q2, e2, W_MAX,
     return jax.jit(call), (WQ, WT, QOFF, SOFF)
 
 
+@functools.lru_cache(maxsize=256)
+def _compiled_exts_pallas(B, TB, Lq, Lt, R, Wb, q, e, q2, noncan, junc_bonus,
+                          has_junc, approx_max, right_gaps, with_cigar,
+                          approx_drop, spl_for, spl_rev, spl_flank,
+                          rev_motifs, sc_mch, sc_mis, sc_n, ROWS=8):
+    """Spliced (exts) step-window kernel: the extd builder in splice mode
+    (reference ksw_exts2_sse, src/ksw2_exts2_sse.c).  The band is the full
+    anti-diagonal, so W_MAX = Lq + Lt disables the band terms; SOFF = 32
+    leaves room for the acceptor's target[t-2] reads below the window."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W_MAX = Lq + Lt
+    QOFF = Lq + Lt + 16
+    SOFF = 32
+    WQ = _round_up(QOFF + Wb + 256, 128)
+    WT = _round_up(SOFF + Lt + Wb + 384, 128)
+    nB = B // TB
+    KR = (R + ROWS - 1) // ROWS
+    kernel = _build_extd_kernel(
+        TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, 0, W_MAX, approx_max,
+        right_gaps, with_cigar, approx_drop, sc_mch, sc_mis, sc_n, ROWS=ROWS,
+        splice=(noncan, junc_bonus, has_junc, spl_for, spl_rev, spl_flank,
+                rev_motifs))
+
+    def vspec(shape):
+        return pl.BlockSpec(shape, lambda b, r: (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [vspec((TB, WQ)), vspec((TB, WT)), vspec((TB, 1)),
+                vspec((TB, 1)), vspec((TB, 1)), vspec((TB, 1))]
+    if has_junc:
+        in_specs.append(vspec((TB, WT)))
+    scratch = [
+        pltpu.VMEM((TB, Wb), jnp.int8),  # u
+        pltpu.VMEM((TB, Wb), jnp.int8),  # v
+        pltpu.VMEM((TB, Wb), jnp.int8),  # x
+        pltpu.VMEM((TB, Wb), jnp.int8),  # y
+        pltpu.VMEM((TB, Wb), jnp.int8),  # x2 (intron)
+        pltpu.VMEM((TB, Wb), jnp.int8),  # s
+        pltpu.VMEM((TB, Wb), jnp.int32),  # H
+        pltpu.VMEM((TB, 16), jnp.int32),  # acc
+    ]
+    if with_cigar:
+        RT = _round_up(KR * ROWS, TB_KTB)
+        assert RT % ROWS == 0
+        out_shape = (
+            jax.ShapeDtypeStruct((B, 16), jnp.int32),
+            jax.ShapeDtypeStruct((RT, B, Wb), jnp.uint8),
+        )
+        out_specs = (
+            vspec((TB, 16)),
+            pl.BlockSpec((ROWS, TB, Wb), lambda b, r: (r, b, 0),
+                         memory_space=pltpu.VMEM),
+        )
+    else:
+        out_shape = (jax.ShapeDtypeStruct((B, 16), jnp.int32),)
+        out_specs = (vspec((TB, 16)),)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nB, KR),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )
+    return jax.jit(call), (WQ, WT, QOFF, SOFF, W_MAX)
+
+
 def extd_pallas(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop, end_bonus, flag,
                 TB=32):
     """Batched wm_extd-equivalent on TPU via the Pallas wavefront kernel.
@@ -717,11 +937,128 @@ def extd_pallas(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop, end_bonus, flag,
     return result
 
 
+def _exts_long_thres(q, e, q2):
+    """exts long_thres == the traceback min_intron_len (reference
+    ksw2_exts2_sse.c:76-78)."""
+    long_thres = (q2 - q) // e - 1
+    if q2 > q + e + long_thres * e:
+        long_thres += 1
+    return long_thres
+
+
+def exts_pallas(qseqs, tseqs, mat, q, e, q2, noncan, zdrop, junc_bonus, flag,
+                juncs=None, TB=32):
+    """Batched wm_exts-equivalent on TPU via the splice-mode step-window
+    kernel + device traceback (reference ksw_exts2_sse,
+    src/ksw2_exts2_sse.c).  juncs: optional per-job junction-flag arrays
+    (already window-sliced and orientation-reversed by the caller, like the
+    `junc` argument of native.exts).  Returns a list of DevExtResult."""
+    B0 = len(qseqs)
+    qlen = np.array([len(s) for s in qseqs], np.int32)
+    tlen = np.array([len(s) for s in tseqs], np.int32)
+    Lq = quantize_len(int(max(1, qlen.max())))
+    Lt = quantize_len(int(max(1, tlen.max())))
+    R = Lq + Lt - 1
+    n_col = min(Lq, Lt)
+    Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32 + _EXTD_ROWS, 128)
+    if Wb > 2048:
+        TB = min(TB, 32)
+    if Wb > 3968:
+        TB = min(TB, 16)
+    B = _round_up(B0, TB)
+
+    mat = np.asarray(mat, np.int8)
+    sc_n = int(mat[24]) if mat[24] != 0 else None
+    with_cigar = not (flag & 0x01)
+    approx_max = bool(flag & 0x08)
+    approx_drop = bool(flag & 0x10)
+    right_gaps = bool(flag & 0x02)
+    extz_only = bool(flag & 0x40)
+    rev_cigar = bool(flag & 0x80)
+    spl_for = bool(flag & 0x100)
+    spl_rev = bool(flag & 0x200)
+    spl_flank = bool(flag & 0x400)
+    has_junc = juncs is not None and any(j is not None for j in juncs)
+    ROWS = extd_rows(Wb)
+
+    run, (WQ, WT, QOFF, SOFF, W_MAX) = _compiled_exts_pallas(
+        B, TB, Lq, Lt, R, Wb, q, e, q2, noncan, junc_bonus, has_junc,
+        approx_max, right_gaps, with_cigar, approx_drop, spl_for, spl_rev,
+        spl_flank, rev_cigar, int(mat[0]), int(mat[1]), sc_n, ROWS=ROWS)
+
+    qbuf = np.zeros((B, WQ), np.uint8)
+    sfbuf = np.zeros((B, WT), np.uint8)
+    jbuf = np.zeros((B, WT), np.uint8) if has_junc else None
+    for i, (qs, ts) in enumerate(zip(qseqs, tseqs)):
+        n = len(qs)
+        qbuf[i, QOFF - n:QOFF] = qs[::-1]
+        sfbuf[i, SOFF:SOFF + len(ts)] = ts
+        if has_junc and juncs[i] is not None:
+            jbuf[i, SOFF:SOFF + len(ts)] = juncs[i]
+
+    def col(v, fill=1):
+        a = np.full((B, 1), fill, np.int32)
+        a[:B0, 0] = v
+        return a
+
+    qlen_a, tlen_a = col(qlen), col(tlen)
+    w_a = np.full((B, 1), W_MAX, np.int32)
+    zd_a = col(np.broadcast_to(np.asarray(zdrop, np.int32), (B0,)), -1)
+    args = [qbuf, sfbuf, qlen_a, tlen_a, w_a, zd_a]
+    if has_junc:
+        args.append(jbuf)
+    out = run(*args)
+    res = np.asarray(out[0])[:B0]
+    results = []
+    if with_cigar:
+        i0, j0 = _compiled_select_starts("max" if extz_only else False)(
+            out[0], qlen_a, tlen_a, np.int32(0))
+        tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX,
+                                 RD=out[1].shape[0], BROWS=ROWS,
+                                 min_intron=_exts_long_thres(q, e, q2))
+        ops, fin = tb(out[1], qlen_a, tlen_a, i0, j0, w_a)
+        ops = np.asarray(ops)
+        fin = np.asarray(fin)
+    for i in range(B0):
+        r = DevExtResult()
+        (r.max, zdr, r.max_q, r.max_t, r.mqe, r.mqe_t, r.mte, r.mte_q,
+         r.score) = (int(v) for v in res[i, :9])
+        r.zdropped = bool(zdr)
+        r.reach_end = False
+        r.cigar = np.zeros(0, np.uint32)
+        if with_cigar:
+            has_tb = ((not r.zdropped and not extz_only)
+                      or (r.max_t >= 0 and r.max_q >= 0))
+            if has_tb:
+                mi_len = _exts_long_thres(q, e, q2)
+                walked = ops[i, :R][::-1]
+                walked = walked[walked != 255].astype(np.int64)
+                parts = [walked]
+                if fin[i, 0] >= 0:
+                    op_i = 3 if mi_len > 0 and fin[i, 0] >= mi_len else 2
+                    parts.append(np.full(int(fin[i, 0]) + 1, op_i, np.int64))
+                if fin[i, 1] >= 0:
+                    parts.append(np.full(int(fin[i, 1]) + 1, 1, np.int64))
+                full = np.concatenate(parts)
+                if len(full):
+                    if not rev_cigar:
+                        full = full[::-1]
+                    change = np.flatnonzero(np.diff(full)) + 1
+                    starts = np.concatenate([[0], change])
+                    ends = np.concatenate([change, [len(full)]])
+                    lens = ends - starts
+                    r.cigar = ((lens.astype(np.uint32) << 4)
+                               | full[starts].astype(np.uint32))
+        results.append(r)
+    return results
+
+
 TB_KTB = 8  # anti-diagonals walked per traceback grid step
 
 
 @functools.lru_cache(maxsize=512)
-def _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=None, BROWS=1):
+def _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=None, BROWS=1,
+                        min_intron=0):
     """Device traceback: all alignments of a batch walk the direction tensor
     in lockstep over descending anti-diagonals (reference ksw_backtrack,
     src/ksw2.h:119-151 semantics incl. the force-state band clamp).  Each
@@ -802,8 +1139,12 @@ def _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=None, BROWS=1):
             s3 = jnp.where(force2, 2, jnp.where(force1, 1, s2))
             is_del = jnp.logical_or(s3 == 1, s3 == 3)
             op = jnp.where(s3 == 0, 0, jnp.where(is_del, 2, 1))
+            if min_intron > 0:
+                # spliced kernel: the long-gap state emits 'N' ops
+                # (reference ksw_backtrack min_intron_len, src/ksw2.h:138)
+                op = jnp.where(s3 == 3, 3, op)
             i_new = jnp.where(op != 1, i - 1, i)
-            j_new = jnp.where(op != 2, j - 1, j)
+            j_new = jnp.where(jnp.logical_or(op == 2, op == 3), j, j - 1)
             opv = jnp.where(act, op, 255)
             chunk_s[:] = jnp.where(lanes128 == (r & 127), opv, chunk_s[:])
             i = jnp.where(act, i_new, i)
@@ -1011,9 +1352,12 @@ def quantize_batch(n: int) -> int:
 
 
 @functools.lru_cache(maxsize=512)
-def _compiled_select_starts(extz_only):
+def _compiled_select_starts(mode):
     """Device-side traceback start selection (reference wm_ksw.cpp:318-333 /
-    ksw2 tail logic) so the DP -> traceback chain needs no host sync."""
+    ksw2 tail logic) so the DP -> traceback chain needs no host sync.
+    mode: False = full-reach unless dropped; True = extz_only (reach_end via
+    mqe + end_bonus); "max" = always the running max (exts with EXTZ_ONLY,
+    which has no end-bonus reach rule -- wm_ksw.cpp wm_exts tail)."""
     import jax
     import jax.numpy as jnp
 
@@ -1025,7 +1369,10 @@ def _compiled_select_starts(extz_only):
         mqe = res[:, 4:5]
         mqe_t = res[:, 5:6]
         ok_max = jnp.logical_and(max_t >= 0, max_q >= 0)
-        if not extz_only:
+        if mode == "max":
+            i0 = jnp.where(ok_max, max_t, -1)
+            j0 = jnp.where(ok_max, max_q, -1)
+        elif not mode:
             i0 = jnp.where(~zdr, tlen - 1, jnp.where(ok_max, max_t, -1))
             j0 = jnp.where(~zdr, qlen - 1, jnp.where(ok_max, max_q, -1))
         else:
@@ -1202,11 +1549,13 @@ def _compiled_pack_ops(cols):
 
 
 @functools.lru_cache(maxsize=256)
-def _compiled_fuse_out(cols):
+def _compiled_fuse_out(cols, wide=False):
     """Fuse the per-call outputs (res (B,16) i32, fin (B,8) i32, packed ops
     (B,cols) u8) into ONE u8 array so each device call costs a single
     device->host fetch instead of three (each fetch pays a full link
-    round-trip on a tunnel-attached chip)."""
+    round-trip on a tunnel-attached chip).  wide=True packs 4-bit ops
+    (2/byte, idle 15) for the spliced kernel whose op alphabet includes the
+    intron op 3 (2-bit packing reserves 3 as the idle sentinel)."""
     import jax
     import jax.numpy as jnp
 
@@ -1214,9 +1563,13 @@ def _compiled_fuse_out(cols):
         B = res.shape[0]
         r8 = jax.lax.bitcast_convert_type(res, jnp.uint8).reshape(B, 64)
         f8 = jax.lax.bitcast_convert_type(fin, jnp.uint8).reshape(B, 32)
-        o = jnp.minimum(ops, 3)[:, :cols * 4].reshape(B, cols, 4)
-        p = (o[..., 0] | (o[..., 1] << 2) | (o[..., 2] << 4)
-             | (o[..., 3] << 6)).astype(jnp.uint8)
+        if not wide:
+            o = jnp.minimum(ops, 3)[:, :cols * 4].reshape(B, cols, 4)
+            p = (o[..., 0] | (o[..., 1] << 2) | (o[..., 2] << 4)
+                 | (o[..., 3] << 6)).astype(jnp.uint8)
+        else:
+            o = jnp.minimum(ops, 15)[:, :cols * 2].reshape(B, cols, 2)
+            p = (o[..., 0] | (o[..., 1] << 4)).astype(jnp.uint8)
         return jnp.concatenate([r8, f8, p], axis=1)
 
     return jax.jit(fuse)
@@ -1231,21 +1584,31 @@ def _unpack_ops(packed, R):
 
 class PoolContext:
     """Device-resident sequence pools for one mapping batch: the reference
-    codes (uploaded once per index) and the batch's read strand pool."""
+    codes (uploaded once per index) and the batch's read strand pool.
+    `device` pins the pools (and thus every DevCallPooled using them) to one
+    local device -- the data-parallel multi-device driver
+    (parallel/multidev.py) runs one engine + pool set per device."""
 
     _ref_cache: dict = {}
 
-    def __init__(self, qpool_np, ref_np):
+    def __init__(self, qpool_np, ref_np, device=None):
         import jax
 
         self.qpool_np = qpool_np
         self.ref_np = ref_np
-        self.qpool = jax.device_put(qpool_np)
-        key = id(ref_np)
+        self.device = device
+        self.qpool = (jax.device_put(qpool_np, device) if device is not None
+                      else jax.device_put(qpool_np))
+        key = (id(ref_np), device)
         cached = PoolContext._ref_cache.get(key)
         if cached is None or cached[0] is not ref_np:
-            dev = jax.device_put(ref_np)
-            PoolContext._ref_cache.clear()  # one index resident at a time
+            dev = (jax.device_put(ref_np, device) if device is not None
+                   else jax.device_put(ref_np))
+            # one index resident at a time: drop cached uploads of OTHER
+            # ref arrays (keep sibling devices' uploads of this one)
+            for k in [k for k, v in PoolContext._ref_cache.items()
+                      if v[0] is not ref_np]:
+                del PoolContext._ref_cache[k]
             PoolContext._ref_cache[key] = (ref_np, dev)
         self.ref = PoolContext._ref_cache[key][1]
         self._q_addr = qpool_np.__array_interface__["data"][0]
@@ -1272,13 +1635,18 @@ class DevCallPooled:
     bytes come down."""
 
     def __init__(self, pools: PoolContext, jobs, mat, q, e, q2, e2,
-                 end_bonus, flag, TB=32, shape_override=None):
+                 end_bonus, flag, TB=32, shape_override=None, splice=None,
+                 juncs=None):
         # jobs: list of (qdesc, tdesc, w, zdrop) where qdesc/tdesc =
         # (pool_sel, off, ln, rev).  shape_override=(Lq, Lt, W_MAX) pins the
         # padded call shape (merged straggler calls use a small fixed shape
-        # menu so the kernel-variant space stays bounded).
-        is_extz = (q == q2 and e == e2)
-        if q2 + e2 < q + e:
+        # menu so the kernel-variant space stays bounded).  splice =
+        # (noncan, junc_bonus) switches to the exts kernel (e2 ignored);
+        # juncs optionally carries per-job junction-flag arrays (window-
+        # sliced + orientation-reversed by the caller, uploaded host-side
+        # because bed_junc flags depend on the query window bounds).
+        is_extz = splice is None and (q == q2 and e == e2)
+        if splice is None and q2 + e2 < q + e:
             q, q2 = q2, q
             e, e2 = e2, e
         B0 = len(jobs)
@@ -1293,7 +1661,11 @@ class DevCallPooled:
             Lt = quantize_len(int(max(1, tlen.max())))
             W_MAX = quantize_len(int(ws.max()))
         R = Lq + Lt - 1
-        n_col = min(min(Lq, Lt), W_MAX + 1)
+        if splice is not None:
+            W_MAX = Lq + Lt  # unbanded: the w terms vanish
+            n_col = min(Lq, Lt)
+        else:
+            n_col = min(min(Lq, Lt), W_MAX + 1)
         Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32 + _EXTD_ROWS, 128)
         if Wb > 2048:
             # wide bands: shrink the tile so the step-window kernel's
@@ -1320,8 +1692,21 @@ class DevCallPooled:
         self.B0 = B0
         self.R = R
         self.R_act = int((qlen + tlen).max()) - 1
+        self.splice = splice
+        self.min_intron = 0
 
-        if is_extz:
+        if splice is not None:
+            noncan, junc_bonus = splice
+            self.min_intron = _exts_long_thres(q, e, q2)
+            has_junc = juncs is not None and any(
+                j is not None for j in juncs)
+            run, (WQ, WT, QOFF, SOFF, W_MAX) = _compiled_exts_pallas(
+                B, TB, Lq, Lt, R, Wb, q, e, q2, noncan, junc_bonus,
+                has_junc, approx_max, right_gaps, self.with_cigar,
+                approx_drop, bool(flag & 0x100), bool(flag & 0x200),
+                bool(flag & 0x400), self.rev_cigar, int(mat[0]),
+                int(mat[1]), sc_n, ROWS=extd_rows(Wb))
+        elif is_extz:
             sc_n_b = (int(mat[24]) if mat[24] != 0 else -e) & 255
             max_sc = (int(mat[0]) + 2 * (q + e)) & 255
             run, (WQ, WT, QOFF, SOFF) = _compiled_extz_pallas(
@@ -1361,24 +1746,44 @@ class DevCallPooled:
         tlen_a = desc[:, 5:6].copy()
         qlen_a[B0:] = 1
         tlen_a[B0:] = 1
-        w_a = desc[:, 6:7].copy()
-        w_a[B0:] = 1
+        if splice is not None:
+            w_a = np.full((B, 1), W_MAX, np.int32)
+        else:
+            w_a = desc[:, 6:7].copy()
+            w_a[B0:] = 1
         zd_a = desc[:, 7:8].copy()
         zd_a[B0:] = -1
 
-        out = run(qbuf, sfbuf, qlen_a, tlen_a, w_a, zd_a)
+        args = [qbuf, sfbuf, qlen_a, tlen_a, w_a, zd_a]
+        if splice is not None and has_junc:
+            jbuf = np.zeros((B, WT), np.uint8)
+            for i, jc in enumerate(juncs):
+                if jc is not None:
+                    jbuf[i, SOFF:SOFF + len(jc)] = jc
+            args.append(jbuf)
+        out = run(*args)
         self.out_dev = out[0]
         if self.with_cigar:
             eb = np.int32(end_bonus)
-            i0, j0 = _compiled_select_starts(self.extz_only)(
+            if splice is not None:
+                sel_mode = "max" if self.extz_only else False
+            else:
+                sel_mode = self.extz_only
+            i0, j0 = _compiled_select_starts(sel_mode)(
                 out[0], qlen_a, tlen_a, eb)
             tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX,
                                      RD=out[1].shape[0],
-                                     BROWS=1 if is_extz else extd_rows(Wb))
+                                     BROWS=1 if is_extz else extd_rows(Wb),
+                                     min_intron=self.min_intron)
             ops, fin = tb(out[1], qlen_a, tlen_a, i0, j0, w_a)
-            self.pack_cols = (R + 3) // 4  # fixed per shape: one variant
-            self.out_dev = _compiled_fuse_out(self.pack_cols)(out[0], fin,
-                                                              ops)
+            if splice is not None:
+                self.pack_cols = (R + 1) // 2
+                self.out_dev = _compiled_fuse_out(self.pack_cols, True)(
+                    out[0], fin, ops)
+            else:
+                self.pack_cols = (R + 3) // 4  # fixed per shape: one variant
+                self.out_dev = _compiled_fuse_out(self.pack_cols)(out[0],
+                                                                  fin, ops)
 
     def start_fetch(self):
         """Begin the async device->host copy of the fused output (one fetch
@@ -1388,15 +1793,28 @@ class DevCallPooled:
         except Exception:
             pass
 
+    def ready(self) -> bool:
+        """True when the device result is available (collect won't block)."""
+        try:
+            return self.out_dev.is_ready()
+        except AttributeError:
+            return True
+
     def collect(self):
         buf = np.asarray(self.out_dev)[:self.B0]
         if self.with_cigar:
             res = np.ascontiguousarray(buf[:, :64]).view(np.int32)
             fin = np.ascontiguousarray(buf[:, 64:96]).view(np.int32)
             from .. import native
-            cigars = native.rle_ops_batch(
-                np.ascontiguousarray(buf[:, 96:]), fin[:, 0], fin[:, 1],
-                np.full(self.B0, self.rev_cigar, np.uint8))
+            if self.splice is not None:
+                cigars = native.rle_ops_batch4(
+                    np.ascontiguousarray(buf[:, 96:]), fin[:, 0], fin[:, 1],
+                    np.full(self.B0, self.rev_cigar, np.uint8),
+                    self.min_intron)
+            else:
+                cigars = native.rle_ops_batch(
+                    np.ascontiguousarray(buf[:, 96:]), fin[:, 0], fin[:, 1],
+                    np.full(self.B0, self.rev_cigar, np.uint8))
         else:
             res = buf
         res9 = res[:, :9].tolist()
@@ -1409,7 +1827,7 @@ class DevCallPooled:
             r.reach_end = False
             r.cigar = np.zeros(0, np.uint32)
             if self.with_cigar:
-                if (not r.zdropped and self.extz_only
+                if (self.splice is None and not r.zdropped and self.extz_only
                         and r.mqe + self.end_bonus > r.max):
                     r.reach_end = True
                 r.cigar = cigars[i]

@@ -33,10 +33,82 @@ MIN_MERGED_BATCH = 8
 MAX_DIRS_BYTES = 2 << 30
 
 
+_BACKEND_OK: bool | None = None
+
+
+def _cpu_only_pinned() -> bool:
+    """True when the process has pinned jax to CPU-only platforms.
+
+    Read WITHOUT touching jax backends: plugin discovery inside
+    ``backends()`` can override the pin (the axon plugin resets
+    ``jax_platforms`` to "axon,cpu" as it registers) and then hang
+    initializing an unreachable TPU client.
+    """
+    import os
+
+    plats = None
+    try:
+        import jax
+
+        plats = jax.config.jax_platforms
+    except Exception:
+        pass
+    if not plats:
+        plats = os.environ.get("JAX_PLATFORMS") or ""
+    names = {p.strip() for p in plats.split(",") if p.strip()}
+    return bool(names) and names <= {"cpu"}
+
+
 def _use_device() -> bool:
     import os
 
-    return os.environ.get("WM_NO_TPU", "") == ""
+    if os.environ.get("WM_NO_TPU", "") != "":
+        return False
+    if os.environ.get("WM_PALLAS_INTERPRET") == "1":
+        return True  # interpreter-mode kernels run on any backend
+    global _BACKEND_OK
+    if _BACKEND_OK is None:
+        if _cpu_only_pinned():
+            _BACKEND_OK = False
+            return False
+        try:
+            import jax
+            from jax._src import xla_bridge as _xb
+
+            # compiled Pallas TPU kernels need a real chip.  Initializing
+            # the TPU client when the chip is unreachable can HANG (not
+            # error) inside the PJRT connect, so unless a backend is
+            # already up, probe in a killable subprocess first.  Probed
+            # once per process.
+            if (os.environ.get("WM_ASSUME_TPU", "") == ""
+                    and not _xb.backends_are_initialized()
+                    and not _probe_tpu_subprocess()):
+                _BACKEND_OK = False
+                return False
+            _BACKEND_OK = jax.default_backend() != "cpu"
+        except Exception:
+            _BACKEND_OK = False
+    return _BACKEND_OK
+
+
+def _probe_tpu_subprocess() -> bool:
+    """Time-bounded out-of-process probe of the non-CPU jax backend."""
+    import os
+    import subprocess
+    import sys
+
+    timeout = float(os.environ.get("WM_TPU_PROBE_TIMEOUT", "120"))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('WM-DEV-' + jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout, env=env)
+        return ("WM-DEV-" in proc.stdout
+                and "WM-DEV-cpu" not in proc.stdout)
+    except Exception:
+        return False
 
 
 class _Task:
@@ -96,11 +168,14 @@ def _bucket_key(job):
     from ..extend.pallas_kernel import quantize_len
 
     # w and zdrop are runtime inputs to the kernels; only the quantized
-    # band ceiling (tile width) and end_bonus (shared per call) bucket
+    # band ceiling (tile width) and end_bonus (shared per call) bucket.
+    # Splice jobs add the exts-specific scoring params (their kernel
+    # variant depends on them).
+    spl = ((opt.noncan, opt.junc_bonus) if opt.flag & MM_F_SPLICE else None)
     return (opt.q, opt.e, opt.q2, opt.e2, _mat_bytes(mat), end_bonus,
             flag, quantize_len(max(1, w)),
             quantize_len(max(1, len(qseq))),
-            quantize_len(max(1, len(tseq))))
+            quantize_len(max(1, len(tseq))), spl)
 
 
 def _device_eligible(job, _len=len):
@@ -112,7 +187,26 @@ def _device_eligible(job, _len=len):
     if lq == 0 or lt == 0 or lq > MAX_DEV_LEN or lt > MAX_DEV_LEN:
         return False
     if opt.flag & MM_F_SPLICE:
-        return False
+        # exts device path: replicate the oracle's refusal guards host-side
+        # (wm_exts returns the empty result there) and the splice kernel's
+        # H-range bound (Lq insertions + one intron entry -- see the
+        # splice score-range assert in pallas_kernel)
+        if opt.q2 <= opt.q + opt.e:
+            return False
+        if max(abs(opt.b), abs(opt.sc_ambi)) > 2 * (opt.q + opt.e):
+            return False
+        # the exts window spans the full min(Lq, Lt) anti-diagonal; the
+        # row-max rank packing supports ~6k lanes
+        if quantize_len(min(lq, lt)) > 4096:
+            return False
+        Lq_q = quantize_len(lq)
+        if (Lq_q * (opt.q + 2 * opt.e)
+                + 2 * (opt.q + opt.q2 + 2 * abs(opt.noncan)) + 1024
+                >= -H_CLAMP):
+            return False
+        if opt.max_sw_mat > 0 and lq * lt > opt.max_sw_mat:
+            return False
+        return True
     # rank packing in the row-max supports bands up to ~6k lanes
     if w + 1 > 6000 and lq > 6000 and lt > 6000:
         return False
@@ -204,6 +298,7 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
         opt = units[0][3][0]
         mat = units[0][3][3]
         end_bonus, flag = key[5], key[6]
+        is_spl = bool(opt.flag & MM_F_SPLICE)
         per_job = call_bytes(key, 1)
         cap = max(MIN_DEV_BATCH, int(MAX_DIRS_BYTES // max(1, per_job)))
         # longest jobs first: same-length jobs share kernel tiles, so whole
@@ -216,7 +311,10 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
             call = DevCallPooled(
                 pools, [u[2] for u in chunk], mat, opt.q, opt.e,
                 opt.q2, opt.e2, end_bonus, flag,
-                TB=64 if len(chunk) >= 64 else 32)
+                TB=64 if len(chunk) >= 64 else 32,
+                splice=(opt.noncan, opt.junc_bonus) if is_spl else None,
+                juncs=([u[3][8] if len(u[3]) > 8 else None for u in chunk]
+                       if is_spl else None))
             call.start_fetch()
             STATS["dispatch_s"] += time.time() - t0
             STATS["dev_calls"] += 1
@@ -245,7 +343,9 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
             # a call; host-run only the rest
             merged = defaultdict(list)
             for key, us in queues.items():
-                merged[key[:7]].extend((key, u) for u in us)
+                # key[10] (splice params) joins the merge key: exts calls
+                # cannot share a kernel with extd/extz ones
+                merged[key[:7] + key[10:]].extend((key, u) for u in us)
             queues.clear()
             promoted = False
             for mk, kus in merged.items():
@@ -271,7 +371,7 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
                     group = kus[lo:hi]
                     if len(group) >= MIN_MERGED_BATCH:
                         STATS["dev_merged"] += len(group)
-                        dispatch(mk + (wq, Lq, Lt), [u for _, u in group])
+                        dispatch(mk[:7] + (wq, Lq, Lt), [u for _, u in group])
                         promoted = True
                     else:
                         for k, u in group:
@@ -356,7 +456,7 @@ def map_batch(mi, opt, seqs, qnames) -> list[MapResult]:
     if not _os.environ.get("WM_NO_ENGINE"):
         from .engine import engine_supported, map_batch_engine
 
-        if engine_supported(opt):
+        if engine_supported(opt, mi):
             return map_batch_engine(mi, opt, seqs, qnames)
     n = len(seqs)
     results: list[MapResult | None] = [None] * n

@@ -40,12 +40,19 @@ from .hit import Extra, Reg
  C_FLAG, C_PROF) = range(12)
 
 
-def engine_supported(opt: MapOptions) -> bool:
+def engine_supported(opt: MapOptions, mi=None) -> bool:
     """Flags the native engine handles; anything else falls back to the
-    generator path (map/batch.py)."""
-    unsupported = (MM_F_SPLICE | MM_F_NO_DIAG | MM_F_NO_DUAL | MM_F_FOR_ONLY
+    generator path (map/batch.py).  Splice runs in the engine (exts jobs go
+    to the splice Pallas kernel) except when --junc-bed intervals are
+    loaded: bed_junc flags depend on each alignment's DP window bounds, so
+    junction-annotated runs stay on the generator path."""
+    unsupported = (MM_F_NO_DIAG | MM_F_NO_DUAL | MM_F_FOR_ONLY
                    | MM_F_REV_ONLY | MM_F_SR)
-    return not (opt.flag & unsupported)
+    if opt.flag & unsupported:
+        return False
+    if (opt.flag & MM_F_SPLICE) and mi is not None and mi.intervals:
+        return False
+    return True
 
 
 def _opts_to_c(opt: MapOptions) -> native.EngOptsC:
@@ -75,6 +82,11 @@ def _index_to_c(mi) -> tuple[native.EngIndexC, list]:
     c.seq_off = ptr(seq_off)
     c.seq_len = ptr(seq_len)
     c.wset = ptr(np.ascontiguousarray(mi.wset, np.uint64))
+    if getattr(mi, "bloom", None) is not None:
+        table, bits, s0, s1 = mi.bloom
+        c.bloom = ptr(np.ascontiguousarray(table, np.uint8))
+        c.bloom_bits = bits
+        c.bloom_salts = (s1 << 32) | s0
     c.n_keys = len(mi.keys)
     c.n_wset = len(mi.wset)
     c.n_seq = len(mi.seqs)
@@ -117,6 +129,13 @@ class MapEngine:
             ctypes.byref(self.c_opts[1]), ctypes.byref(self.c_opts[2]),
             qpool_np.ctypes.data_as(ctypes.c_void_p),
             int(os.environ.get("WM_ENGINE_THREADS", "512")))
+        if self.device:
+            # device chaining: anchor sets >= this export through the chain
+            # exchange onto chain/device.py (bit-exact).  Default threshold
+            # pending on-chip measurement; WM_DEV_CHAIN_MIN overrides,
+            # 0 disables.
+            self.L.wm_eng_set_chain_min(
+                self.h, int(os.environ.get("WM_DEV_CHAIN_MIN", "50000")))
         self.empty = []
         for i, (seq, name) in enumerate(zip(seqs, qnames)):
             if len(seq) == 0:
@@ -139,6 +158,50 @@ class MapEngine:
         if n == 0:
             return np.zeros((0, 12), np.int64)
         return np.ctypeslib.as_array(p, (n, 12)).copy()
+
+    def _service_chains(self) -> bool:
+        """Export pending chain jobs and run them batched on the device
+        chain kernel (chain/device.py), delivering (u, ax, ay) back to the
+        blocked engine threads."""
+        import time
+
+        from ..chain.device import chain_dp_device_batch
+
+        p = ctypes.POINTER(ctypes.c_int64)()
+        n = self.L.wm_eng_step_chains(self.h, ctypes.byref(p))
+        if n == 0:
+            return False
+        rows = np.ctypeslib.as_array(p, (n, 16)).copy()
+        t0 = time.time()
+        groups = defaultdict(list)  # param tuple -> [(id, ax, ay)]
+        for r in rows:
+            na = int(r[1])
+            ax = np.ctypeslib.as_array(
+                ctypes.cast(int(r[2]),
+                            ctypes.POINTER(ctypes.c_uint64)), (na,))
+            ay = np.ctypeslib.as_array(
+                ctypes.cast(int(r[3]),
+                            ctypes.POINTER(ctypes.c_uint64)), (na,))
+            # the engine's scalar path takes gap_scale through a float cast
+            gs = float(np.float32(np.int64(r[13]).view(np.float64)))
+            key = tuple(int(v) for v in r[4:13]) + (gs,)
+            groups[key].append((int(r[0]), ax, ay))
+        for key, members in groups.items():
+            (mdx, mindx, mdy, bw, mskip, miter, mcnt, msc, is_cdna,
+             gs) = key
+            results = chain_dp_device_batch(
+                [(ax, ay) for _, ax, ay in members], mdx, mindx, mdy, bw,
+                mskip, miter, mcnt, msc, gs, is_cdna)
+            for (cid, _, _), (u, oax, oay) in zip(members, results):
+                u = np.ascontiguousarray(u, np.uint64)
+                oax = np.ascontiguousarray(oax, np.uint64)
+                oay = np.ascontiguousarray(oay, np.uint64)
+                self.L.wm_eng_deliver_chain(
+                    self.h, cid, len(u), u.ctypes.data, len(oax),
+                    oax.ctypes.data, oay.ctypes.data)
+        STATS["chain_dev_s"] += time.time() - t0
+        STATS["chain_dev_jobs"] += len(rows)
+        return True
 
     def _deliver(self, rows: np.ndarray, ezs) -> None:
         n = len(rows)
@@ -178,6 +241,7 @@ class MapEngine:
 
         opt = self.opts3[prof]
         mat = gen_simple_mat(opt.a, opt.b, opt.sc_ambi)
+        is_spl = bool(opt.flag & MM_F_SPLICE)
         # longest first: same-length jobs share kernel tiles so whole tiles
         # go dead together for the liveness guard
         order = np.argsort(-(rows[:, C_QLEN] + rows[:, C_TLEN]), kind="stable")
@@ -188,6 +252,8 @@ class MapEngine:
             Lq = quantize_len(max(1, int(rows[:, C_QLEN].max())))
             Lt = quantize_len(max(1, int(rows[:, C_TLEN].max())))
             Wq = quantize_len(max(1, int(rows[:, C_W].max())))
+        if is_spl:
+            Wq = Lq + Lt  # unbanded exts: the full anti-diagonal is live
         max_jobs = max(1, MAX_CALL_DIRS_BYTES
                        // est_dirs_slot_bytes(Lq, Lt, Wq))
         out = []
@@ -200,7 +266,9 @@ class MapEngine:
             call = DevCallPooled(self.pools, units, mat, opt.q, opt.e,
                                  opt.q2, opt.e2, int(end_bonus), int(flag),
                                  TB=64 if len(units) >= 64 else 32,
-                                 shape_override=shape_override)
+                                 shape_override=shape_override,
+                                 splice=((opt.noncan, opt.junc_bonus)
+                                         if is_spl else None))
             call.start_fetch()
             STATS["dispatch_s"] += time.time() - t0
             STATS["dev_calls"] += 1
@@ -261,12 +329,17 @@ class MapEngine:
             leftovers = []
             for key, rs in pending.items():
                 prof_eb_flag = key[:3]
+                spl = bool(self.opts3[key[0]].flag & MM_F_SPLICE)
                 for r in rs:
                     L = max(int(r[C_QLEN]), int(r[C_TLEN]))
                     w = int(r[C_W])
                     Lc = next((c for c in MERGE_L if L <= c), None)
                     Wc = next((c for c in MERGE_W if w <= c), None)
-                    if Lc is None or Wc is None:
+                    if spl and (Lc is None or Lc > 4096):
+                        # exts square merge shapes above 4096 lanes exceed
+                        # the rank-packing band; exact-shape call instead
+                        big[key].append(r)
+                    elif Lc is None or Wc is None:
                         big[key].append(r)  # too costly for the host: own call
                     else:
                         groups[prof_eb_flag + (Lc, min(Wc, Lc))].append(r)
@@ -304,12 +377,31 @@ class MapEngine:
             rows = self._step()
             if len(rows):
                 bucket(rows)
-            progressed = dispatch_full()
-            if inflight:
+            self._service_chains()
+            dispatch_full()
+            # drain every READY call without blocking: each deliver wakes
+            # engine threads whose next jobs then overlap the device's
+            # in-flight work (VERDICT r2: overlap collect with progress)
+            delivered = False
+            while inflight and inflight[0][0].ready():
                 call, crows = inflight.popleft()
                 t0 = time.time()
                 ezs = call.collect()
                 STATS["dev_s"] += time.time() - t0
+                self._deliver(crows, ezs)
+                delivered = True
+            if delivered:
+                continue
+            if inflight:
+                if pending and len(inflight) >= 2:
+                    # the device is deep in work: spend the wait promoting
+                    # stragglers (device-merged or host) instead of idling
+                    if promote_stragglers():
+                        continue
+                call, crows = inflight.popleft()
+                t0 = time.time()
+                ezs = call.collect()
+                STATS["dev_wait_s"] += time.time() - t0
                 self._deliver(crows, ezs)
                 continue
             if pending:
@@ -376,7 +468,7 @@ class MapEngine:
         return out
 
 
-def _build_pools_engine(mi, seqs):
+def _build_pools_engine(mi, seqs, device=None):
     """qpool of fwd+revcomp strand codes per read (batch._build_pools
     layout) plus per-read (fwd_off, rev_off)."""
     from ..extend.pallas_kernel import PoolContext
@@ -399,14 +491,18 @@ def _build_pools_engine(mi, seqs):
         qpool[o + L:o + 2 * L] = np.where(m, 3 - rev, rev)
         qoffs.append((o, o + L))
         o += 2 * L
-    pools = PoolContext(qpool, mi.codes) if _use_device() else None
+    pools = (PoolContext(qpool, mi.codes, device=device)
+             if _use_device() else None)
     return pools, qoffs, qpool
 
 
-def map_batch_engine(mi, opt: MapOptions, seqs, qnames) -> list[MapResult]:
+def map_batch_engine(mi, opt: MapOptions, seqs, qnames,
+                     device=None) -> list[MapResult]:
     """Map a batch of reads through the native engine + TPU scheduler
-    (byte-identical to frag.map_one; reference mm_map semantics)."""
-    pools, qoffs, qpool = _build_pools_engine(mi, seqs)
+    (byte-identical to frag.map_one; reference mm_map semantics).
+    `device` pins this engine's DP traffic to one local device (the
+    multi-device driver runs one engine per device)."""
+    pools, qoffs, qpool = _build_pools_engine(mi, seqs, device=device)
     if pools is None:
         # no device: the engine still runs, all jobs on the host kernels
         pools = _HostOnlyPools()

@@ -39,7 +39,8 @@ int64_t wm_chain_dp(int max_dist_x, int min_dist_x, int max_dist_y, int bw,
                     int32_t* out_n_u, uint64_t** out_ax, uint64_t** out_ay);
 int64_t wm_sketch(const char* str, int len, int w, int k, uint32_t rid,
                   int is_hpc, const uint64_t* wset, int64_t n_wset,
-                  uint64_t** out_x, uint64_t** out_y);
+                  const uint8_t* bloom, uint64_t bloom_bits, uint32_t salt0,
+                  uint32_t salt1, uint64_t** out_x, uint64_t** out_y);
 int64_t wm_sdust(const uint8_t* seq, int64_t l_seq, int T, int W,
                  uint64_t** out);
 void wm_extz(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
@@ -49,6 +50,10 @@ void wm_extd(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
              int m, const int8_t* mat, int8_t q, int8_t e, int8_t q2,
              int8_t e2, int w, int zdrop, int end_bonus, int flag,
              wm_ext_result* ez);
+void wm_exts(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
+             int m, const int8_t* mat, int8_t q, int8_t e, int8_t q2,
+             int8_t noncan, int zdrop, int8_t junc_bonus, int flag,
+             const uint8_t* junc, wm_ext_result* ez);
 int wm_sw_i16(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
               int m, const int8_t* mat, int gapo, int gape, int* qe_out,
               int* te_out);
@@ -125,7 +130,10 @@ struct EngIndex {  // flat index view (winnowmap_tpu/index/build.py arrays)
   const int64_t* seq_off;  // per-rid offset into codes
   const int32_t* seq_len;  // per-rid length
   const uint64_t* wset;    // sorted down-weight set
+  const uint8_t* bloom;    // --bloom-filter parity mode table (else null)
   int64_t n_keys, n_wset;
+  uint64_t bloom_bits;
+  uint64_t bloom_salts;  // salt1 << 32 | salt0
   int32_t n_seq, w, k, idx_flag;  // idx_flag bit0 = HPC
 };
 
@@ -663,7 +671,9 @@ static void collect_minimizers(const EngOpts& opt, const EngIndex& mi,
                                std::vector<uint64_t>& mvy) {
   uint64_t *x = nullptr, *y = nullptr;
   int64_t n = wm_sketch((const char*)seq, qlen, mi.w, mi.k, 0,
-                        mi.idx_flag & 1, mi.wset, mi.n_wset, &x, &y);
+                        mi.idx_flag & 1, mi.wset, mi.n_wset, mi.bloom,
+                        mi.bloom_bits, (uint32_t)mi.bloom_salts,
+                        (uint32_t)(mi.bloom_salts >> 32), &x, &y);
   if (opt.sdust_thres > 0 && n > 0) {
     uint64_t* dreg = nullptr;
     int64_t nd = wm_sdust(seq, qlen, opt.sdust_thres, 64, &dreg);
@@ -957,6 +967,60 @@ static void fix_bad_ends(const Reg& r, const uint64_t* ax, const uint64_t* ay,
   *cnt_out = cnt;
 }
 
+// local-SW score of a single seed's neighbourhood (align.py seed_ext_score;
+// reference mm_seed_ext_score, align.c:523-543)
+static int seed_ext_score(const EngOpts& opt, const EngIndex& mi,
+                          const int8_t* mat, int qlen,
+                          const uint8_t* const qseq0[2], uint64_t axv,
+                          uint64_t ayv) {
+  int q_span = (int)(ayv >> 32 & 0xff);
+  int32_t rid = (int32_t)(axv << 1 >> 33);
+  int64_t re = i32of(axv) + 1, rs = re - q_span;
+  int64_t qe = i32of(ayv) + 1, qs = qe - q_span;
+  int ext = opt.anchor_ext_len;
+  rs = std::max<int64_t>(rs - ext, 0);
+  qs = std::max<int64_t>(qs - ext, 0);
+  re = std::min<int64_t>(re + ext, mi.seq_len[rid]);
+  qe = std::min<int64_t>(qe + ext, qlen);
+  const uint8_t* tseq = mi.codes + mi.seq_off[rid] + rs;
+  const uint8_t* qseq = qseq0[(int)(axv >> 63)] + qs;
+  int qe_o, te_o;
+  return wm_sw_i16((int)(qe - qs), qseq, (int)(re - rs), tseq, 5, mat, opt.q,
+                   opt.e, &qe_o, &te_o);
+}
+
+// trim weak boundary exon seeds (align.py fix_bad_ends_splice; reference
+// mm_fix_bad_ends_splice, align.c:545-563)
+static void fix_bad_ends_splice(const EngOpts& opt, const EngIndex& mi,
+                                const Reg& r, const int8_t* mat, int qlen,
+                                const uint8_t* const qseq0[2],
+                                const uint64_t* ax, const uint64_t* ay,
+                                int64_t* as_out, int64_t* cnt_out) {
+  int64_t as1 = r.as_, cnt1 = r.cnt;
+  if (r.cnt >= 3) {
+    double log_gap =
+        std::log((double)(i32of(ax[r.as_ + 1]) - i32of(ax[r.as_])));
+    if ((int)(ay[r.as_] >> 32 & 0xff) < log_gap + opt.anchor_ext_shift) {
+      int sc = seed_ext_score(opt, mi, mat, qlen, qseq0, ax[r.as_],
+                              ay[r.as_]);
+      if ((double)sc / mat[0] < log_gap + opt.anchor_ext_shift) {
+        ++as1;
+        --cnt1;
+      }
+    }
+    log_gap = std::log((double)(i32of(ax[r.as_ + r.cnt - 1]) -
+                                i32of(ax[r.as_ + r.cnt - 2])));
+    if ((int)(ay[r.as_ + r.cnt - 1] >> 32 & 0xff) <
+        log_gap + opt.anchor_ext_shift) {
+      int sc = seed_ext_score(opt, mi, mat, qlen, qseq0,
+                              ax[r.as_ + r.cnt - 1], ay[r.as_ + r.cnt - 1]);
+      if ((double)sc / mat[0] < log_gap + opt.anchor_ext_shift) --cnt1;
+    }
+  }
+  *as_out = as1;
+  *cnt_out = cnt1;
+}
+
 static void max_stretch(const Reg& r, const uint64_t* ax, const uint64_t* ay,
                         int64_t* as_out, int64_t* cnt_out) {
   int64_t as_ = r.as_, cnt = r.cnt;
@@ -1108,6 +1172,92 @@ class Engine {
   int64_t outstanding_base = 0;
   std::vector<int64_t> export_buf;
 
+  // ---- chain exchange: anchor sets routed to the device forward DP
+  // (chain/device.py) through the same blocking-thread pattern as the
+  // extension-job exchange.  Off (chain_dev_min == 0) unless the Python
+  // device driver enables it -- threads then block in chain_submit and the
+  // driver batches exported jobs onto the chain kernel.
+  struct ChainWaiter {
+    std::condition_variable cv;
+    bool done = false;
+    std::vector<uint64_t> u, ax, ay;
+  };
+  struct PendingChain {
+    int64_t id, n;
+    const uint64_t* ax;
+    const uint64_t* ay;
+    int32_t max_dist_x, min_dist_x, max_dist_y, bw, max_skip, max_iter,
+        min_cnt, min_sc, is_cdna;
+    double gap_scale;
+    ChainWaiter* w;
+  };
+  int64_t chain_dev_min = 0;
+  int64_t next_chain_id = 0;
+  std::vector<PendingChain> chain_queue;
+  std::deque<PendingChain> chain_outstanding;
+  std::vector<int64_t> chain_export_buf;
+
+  bool chain_submit(PendingChain pc, std::vector<uint64_t>& u_out,
+                    std::vector<uint64_t>& ax_out,
+                    std::vector<uint64_t>& ay_out) {
+    ChainWaiter w;
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      if (aborting) return false;
+      pc.id = next_chain_id++;
+      pc.w = &w;
+      chain_queue.push_back(pc);
+      ++n_blocked;
+      if (n_blocked == n_live) cv_settled.notify_all();
+      w.cv.wait(lk, [&] { return w.done; });
+      --n_blocked;
+      if (aborting) return false;
+    }
+    u_out.swap(w.u);
+    ax_out.swap(w.ax);
+    ay_out.swap(w.ay);
+    return true;
+  }
+
+  int64_t step_chains(const int64_t** out_rows) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_settled.wait(lk, [&] { return n_blocked == n_live; });
+    chain_export_buf.clear();
+    for (auto& pc : chain_queue) {
+      int64_t gs_bits;
+      std::memcpy(&gs_bits, &pc.gap_scale, 8);
+      int64_t row[16] = {pc.id,        pc.n,
+                         (int64_t)pc.ax, (int64_t)pc.ay,
+                         pc.max_dist_x, pc.min_dist_x,
+                         pc.max_dist_y, pc.bw,
+                         pc.max_skip,   pc.max_iter,
+                         pc.min_cnt,    pc.min_sc,
+                         pc.is_cdna,    gs_bits,
+                         0,             0};
+      chain_export_buf.insert(chain_export_buf.end(), row, row + 16);
+      chain_outstanding.push_back(pc);
+    }
+    chain_queue.clear();
+    *out_rows = chain_export_buf.data();
+    return (int64_t)chain_export_buf.size() / 16;
+  }
+
+  void deliver_chain(int64_t id, int64_t n_u, const uint64_t* u, int64_t n_v,
+                     const uint64_t* axp, const uint64_t* ayp) {
+    std::lock_guard<std::mutex> lk(mu);
+    for (auto it = chain_outstanding.begin(); it != chain_outstanding.end();
+         ++it) {
+      if (it->id != id) continue;
+      it->w->u.assign(u, u + n_u);
+      it->w->ax.assign(axp, axp + n_v);
+      it->w->ay.assign(ayp, ayp + n_v);
+      it->w->done = true;
+      it->w->cv.notify_one();
+      chain_outstanding.erase(it);
+      return;
+    }
+  }
+
   std::deque<Task> tasks;
   int max_threads = 0;
   std::vector<pthread_t> threads;
@@ -1121,6 +1271,16 @@ class Engine {
       aborting = true;
       wm_ext_result zed;
       std::memset(&zed, 0, sizeof(zed));
+      for (auto& pc : chain_queue) {
+        pc.w->done = true;
+        pc.w->cv.notify_one();
+      }
+      chain_queue.clear();
+      for (auto& pc : chain_outstanding) {
+        pc.w->done = true;
+        pc.w->cv.notify_one();
+      }
+      chain_outstanding.clear();
       for (auto& pj : queue) {
         pj.w->res[pj.slot] = zed;
         if (--pj.w->remaining == 0) pj.w->cv.notify_one();
@@ -1148,7 +1308,25 @@ class Engine {
         j.tlen > MAX_DEV_LEN)
       return false;
     const EngOpts& o = opts[j.prof];
-    if (o.flag & MM_F_SPLICE) return false;
+    if (o.flag & MM_F_SPLICE) {
+      // exts device path (mirrors map/batch.py splice eligibility): the
+      // oracle's refusal guards run host-side; the splice kernel's H-range
+      // bound is query-length based (see pallas_kernel splice assert)
+      if (o.q2 <= o.q + o.e) return false;
+      if (std::max(std::abs(o.b), std::abs(o.sc_ambi)) > 2 * (o.q + o.e))
+        return false;
+      // unbanded exts window = min(Lq, Lt) lanes; rank packing caps ~6k
+      if (quantize_len(std::max(1, std::min(j.qlen, j.tlen))) > 4096)
+        return false;
+      int64_t lqq = quantize_len(std::max(1, j.qlen));
+      if (lqq * (o.q + 2 * o.e) +
+              2 * (o.q + o.q2 + 2 * std::abs(o.noncan)) + 1024 >=
+          (int64_t)1 << 17)
+        return false;
+      if (o.max_sw_mat > 0 && (int64_t)j.qlen * j.tlen > o.max_sw_mat)
+        return false;
+      return true;
+    }
     if (j.w + 1 > 6000 && j.qlen > 6000 && j.tlen > 6000) return false;
     int64_t R = quantize_len(std::max(1, j.qlen)) +
                 quantize_len(std::max(1, j.tlen)) - 1;
@@ -1194,7 +1372,11 @@ class Engine {
         tp = tsrc;
       }
     }
-    if (o.q == o.q2 && o.e == o.e2)
+    if (o.flag & MM_F_SPLICE)
+      wm_exts(j.qlen, qp, j.tlen, tp, 5, mats[j.prof], (int8_t)o.q,
+              (int8_t)o.e, (int8_t)o.q2, (int8_t)o.noncan, j.zdrop,
+              (int8_t)o.junc_bonus, j.ezflag, nullptr, ez);
+    else if (o.q == o.q2 && o.e == o.e2)
       wm_extz(j.qlen, qp, j.tlen, tp, 5, mats[j.prof], (int8_t)o.q,
               (int8_t)o.e, j.w, j.zdrop, j.end_bonus, j.ezflag, ez);
     else
@@ -1370,10 +1552,11 @@ static void chain_gaps(const EngOpts& o, bool is_sr, int qlen_sum,
 // in the engine's read pool.  Returns true when a split region was produced.
 static bool align1(Ctx& c, int qlen, const uint8_t* const q0[2], Reg& r,
                    Reg& r2, int64_t n_a, uint64_t* ax, uint64_t* ay,
-                   bool* dropped_out) {
+                   int64_t splice_flag, bool* dropped_out) {
   const EngOpts& opt = *c.opt();
   const EngIndex& mi = c.eng->mi;
   bool is_sr = (opt.flag & MM_F_SR) != 0;
+  bool is_splice = (opt.flag & MM_F_SPLICE) != 0;
   int32_t rid = (int32_t)(ax[r.as_] << 1 >> 33);
   int rev = (int)(ax[r.as_] >> 63);
   *dropped_out = false;
@@ -1390,9 +1573,12 @@ static bool align1(Ctx& c, int qlen, const uint8_t* const q0[2], Reg& r,
     re = i32of(ax[as1 + cnt1 - 1]) + 1;
     qe = i32of(ay[as1 + cnt1 - 1]) + 1;
   } else {
-    if (!(opt.flag & MM_F_NO_END_FLT))
-      fix_bad_ends(r, ax, ay, opt.bw, opt.min_chain_score * 2, &as1, &cnt1);
-    else {
+    if (!(opt.flag & MM_F_NO_END_FLT)) {
+      if (is_splice)
+        fix_bad_ends_splice(opt, mi, r, mat, qlen, q0, ax, ay, &as1, &cnt1);
+      else
+        fix_bad_ends(r, ax, ay, opt.bw, opt.min_chain_score * 2, &as1, &cnt1);
+    } else {
       as1 = r.as_;
       cnt1 = r.cnt;
     }
@@ -1402,7 +1588,14 @@ static bool align1(Ctx& c, int qlen, const uint8_t* const q0[2], Reg& r,
     adjust_minier(mi, q0, ax[as1 + cnt1 - 1], ay[as1 + cnt1 - 1], &re, &qe);
   }
   assert(cnt1 > 0);
-  const int extra_flag = 0;  // splice runs on the Python fallback path
+  int extra_flag = 0;
+  if (is_splice) {  // (align.py align1_gen; reference align.c:602-605)
+    if (splice_flag & MM_F_SPLICE_FOR)
+      extra_flag |= rev ? WM_EZ_SPLICE_REV : WM_EZ_SPLICE_FOR;
+    if (splice_flag & MM_F_SPLICE_REV)
+      extra_flag |= rev ? WM_EZ_SPLICE_FOR : WM_EZ_SPLICE_REV;
+    if (opt.flag & MM_F_SPLICE_FLANK) extra_flag |= WM_EZ_SPLICE_FLANK;
+  }
 
   // DP region bounds (reference align.c:608-684)
   int64_t tlen_rid = mi.seq_len[rid];
@@ -1852,12 +2045,47 @@ static void align_regs(Ctx& c, int qlen, const uint8_t* const q0[2],
   const EngOpts& opt = *c.opt();
   if (!(opt.flag & MM_F_CIGAR)) return;
   int64_t n_a = squeeze_a(regs, ax.data(), ay.data());
+  bool both_strands = (opt.flag & MM_F_SPLICE) &&
+                      (opt.flag & MM_F_SPLICE_FOR) &&
+                      (opt.flag & MM_F_SPLICE_REV);
   int i = 0;
   while (i < (int)regs.size()) {
     Reg r2;
+    bool has2;
     bool dropped;
-    bool has2 = align1(c, qlen, q0, regs[i], r2, n_a, ax.data(), ay.data(),
-                       &dropped);
+    if (both_strands) {
+      // one round per transcript strand, keep the higher dp_score
+      // (align.py align_skeleton_gen; reference align.c:884-900)
+      Reg cand[2] = {regs[i], regs[i]};
+      Reg r2s[2];
+      bool h2s[2];
+      h2s[0] = align1(c, qlen, q0, cand[0], r2s[0], n_a, ax.data(),
+                      ay.data(), MM_F_SPLICE_FOR, &dropped);
+      h2s[1] = align1(c, qlen, q0, cand[1], r2s[1], n_a, ax.data(),
+                      ay.data(), MM_F_SPLICE_REV, &dropped);
+      int64_t sc0 = cand[0].p ? cand[0].p->dp_score : -((int64_t)1 << 30);
+      int64_t sc1 = cand[1].p ? cand[1].p->dp_score : -((int64_t)1 << 30);
+      int which, trans_strand;
+      if (sc0 > sc1) {
+        which = 0;
+        trans_strand = 1;
+      } else if (sc0 < sc1) {
+        which = 1;
+        trans_strand = 2;
+      } else {
+        trans_strand = 3;
+        which = (int)((qlen + sc0) & 1);
+      }
+      regs[i] = cand[which];
+      r2 = r2s[which];
+      has2 = h2s[which];
+      if (regs[i].p) regs[i].p->trans_strand = trans_strand;
+    } else {
+      has2 = align1(c, qlen, q0, regs[i], r2, n_a, ax.data(), ay.data(),
+                    opt.flag, &dropped);
+      if ((opt.flag & MM_F_SPLICE) && regs[i].p)
+        regs[i].p->trans_strand = (opt.flag & MM_F_SPLICE_FOR) ? 1 : 2;
+    }
     if (has2 && r2.cnt > 0) regs.insert(regs.begin() + i + 1, std::move(r2));
     if (i > 0 && regs[i].split_inv) {
       Reg rinv;
@@ -1901,6 +2129,51 @@ struct PipeOut {
 // one seed->chain->post->align->mapq pass (frag.py _pipeline_once_gen;
 // reference map.c:343-470).  est_err is intentionally skipped: it only sets
 // the div field of MCAS stage-1 trial regs, which are discarded after the
+// Chain DP with optional device routing: anchor sets at or above the
+// engine's chain_dev_min export through the chain exchange onto the device
+// forward kernel (chain/device.py, bit-exact); smaller sets (or a disabled
+// exchange) run the scalar host DP inline.  Returns n_v with the chain
+// outputs in the vectors.
+static int64_t chain_dp_route(Engine* eng, int max_dist_x, int min_dist_x,
+                              int max_dist_y, int bw, int max_skip,
+                              int max_iter, int min_cnt, int min_sc,
+                              double gap_scale, int is_cdna, int64_t n,
+                              const uint64_t* axp, const uint64_t* ayp,
+                              std::vector<uint64_t>& u_v,
+                              std::vector<uint64_t>& ax_v,
+                              std::vector<uint64_t>& ay_v) {
+  if (eng->chain_dev_min > 0 && n >= eng->chain_dev_min) {
+    Engine::PendingChain pc;
+    pc.n = n;
+    pc.ax = axp;
+    pc.ay = ayp;
+    pc.max_dist_x = max_dist_x;
+    pc.min_dist_x = min_dist_x;
+    pc.max_dist_y = max_dist_y;
+    pc.bw = bw;
+    pc.max_skip = max_skip;
+    pc.max_iter = max_iter;
+    pc.min_cnt = min_cnt;
+    pc.min_sc = min_sc;
+    pc.is_cdna = is_cdna;
+    pc.gap_scale = gap_scale;
+    if (eng->chain_submit(pc, u_v, ax_v, ay_v)) return (int64_t)ax_v.size();
+  }
+  uint64_t *u = nullptr, *oax = nullptr, *oay = nullptr;
+  int32_t n_u = 0;
+  int64_t n_v =
+      wm_chain_dp(max_dist_x, min_dist_x, max_dist_y, bw, max_skip, max_iter,
+                  min_cnt, min_sc, (float)gap_scale, is_cdna, 1, n, axp, ayp,
+                  &u, &n_u, &oax, &oay);
+  u_v.assign(u, u + n_u);
+  ax_v.assign(oax, oax + n_v);
+  ay_v.assign(oay, oay + n_v);
+  if (u) wm_free(u);
+  if (oax) wm_free(oax);
+  if (oay) wm_free(oay);
+  return n_v;
+}
+
 // acceptance test, so output is byte-identical without it.
 static void pipeline_once(Ctx& c, int qlen, const uint8_t* seq_ascii,
                           const uint8_t* const q0[2], uint32_t hash_,
@@ -1914,20 +2187,14 @@ static void pipeline_once(Ctx& c, int qlen, const uint8_t* seq_ascii,
   SeedHits sh = collect_seed_hits(opt, opt.mid_occ, mi, mvx, mvy, qlen);
   int max_gap_qry, max_gap_ref, min_gap_ref;
   chain_gaps(opt, is_sr, qlen, &max_gap_qry, &max_gap_ref, &min_gap_ref);
-  uint64_t *u = nullptr, *oax = nullptr, *oay = nullptr;
-  int32_t n_u = 0;
-  int64_t n_v = wm_chain_dp(
-      max_gap_ref, min_gap_ref, max_gap_qry, opt.bw, opt.max_chain_skip,
-      opt.max_chain_iter, opt.min_cnt, opt.min_chain_score,
-      (float)opt.chain_gap_scale, is_splice ? 1 : 0, 1,
-      (int64_t)sh.ax.size(), sh.ax.data(), sh.ay.data(), &u, &n_u, &oax,
-      &oay);
-  out.ax.assign(oax, oax + n_v);
-  out.ay.assign(oay, oay + n_v);
-  out.regs = gen_regs(hash_, qlen, u, n_u, out.ax.data(), out.ay.data());
-  if (u) wm_free(u);
-  if (oax) wm_free(oax);
-  if (oay) wm_free(oay);
+  std::vector<uint64_t> u_v;
+  chain_dp_route(c.eng, max_gap_ref, min_gap_ref, max_gap_qry, opt.bw,
+                 opt.max_chain_skip, opt.max_chain_iter, opt.min_cnt,
+                 opt.min_chain_score, opt.chain_gap_scale,
+                 is_splice ? 1 : 0, (int64_t)sh.ax.size(), sh.ax.data(),
+                 sh.ay.data(), u_v, out.ax, out.ay);
+  out.regs = gen_regs(hash_, qlen, u_v.data(), (int32_t)u_v.size(),
+                      out.ax.data(), out.ay.data());
   chain_post(c, qlen, out.regs, out.ax, out.ay);
   align_regs(c, qlen, q0, out.regs, out.ax, out.ay);
   set_mapq(out.regs, opt.min_chain_score, opt.a, (int)sh.rep_len, is_sr);
@@ -2087,20 +2354,15 @@ static void run_stage2(Engine* eng, ReadState* rd) {
   uint32_t hash_ = frag_hash(rd->name_x31, qlen, o3.seed);
   int max_gap_qry, max_gap_ref, min_gap_ref;
   chain_gaps(o3, is_sr, qlen, &max_gap_qry, &max_gap_ref, &min_gap_ref);
-  uint64_t *u = nullptr, *oax = nullptr, *oay = nullptr;
-  int32_t n_u = 0;
-  int64_t n_v = wm_chain_dp(max_gap_ref, min_gap_ref, max_gap_qry, o3.bw,
-                            o3.max_chain_skip, o3.max_chain_iter, o3.min_cnt,
-                            o3.min_chain_score, (float)o3.chain_gap_scale, 0,
-                            1, (int64_t)ax.size(), ax.data(), ay.data(), &u,
-                            &n_u, &oax, &oay);
   PipeOut po;
-  po.ax.assign(oax, oax + n_v);
-  po.ay.assign(oay, oay + n_v);
-  po.regs = gen_regs(hash_, qlen, u, n_u, po.ax.data(), po.ay.data());
-  if (u) wm_free(u);
-  if (oax) wm_free(oax);
-  if (oay) wm_free(oay);
+  std::vector<uint64_t> u_v;
+  chain_dp_route(eng, max_gap_ref, min_gap_ref, max_gap_qry, o3.bw,
+                 o3.max_chain_skip, o3.max_chain_iter, o3.min_cnt,
+                 o3.min_chain_score, o3.chain_gap_scale, 0,
+                 (int64_t)ax.size(), ax.data(), ay.data(), u_v, po.ax,
+                 po.ay);
+  po.regs = gen_regs(hash_, qlen, u_v.data(), (int32_t)u_v.size(),
+                     po.ax.data(), po.ay.data());
   chain_post(c, qlen, po.regs, po.ax, po.ay);
   align_regs(c, qlen, rd->q0, po.regs, po.ax, po.ay);
   set_mapq(po.regs, o3.min_chain_score, o3.a, (int)rep_len, is_sr);
@@ -2236,6 +2498,23 @@ void wm_eng_deliver(void* ev, int64_t n, const int64_t* ids,
 
 void wm_eng_run_host_ids(void* ev, int64_t n, const int64_t* ids) {
   ((weng::Engine*)ev)->run_host_ids(n, ids);
+}
+
+// ---- chain exchange (device colinear chaining) ---------------------------
+void wm_eng_set_chain_min(void* ev, int64_t min_anchors) {
+  auto* e = (weng::Engine*)ev;
+  std::lock_guard<std::mutex> lk(e->mu);
+  e->chain_dev_min = min_anchors;
+}
+
+int64_t wm_eng_step_chains(void* ev, const int64_t** rows) {
+  return ((weng::Engine*)ev)->step_chains(rows);
+}
+
+void wm_eng_deliver_chain(void* ev, int64_t id, int64_t n_u,
+                          const uint64_t* u, int64_t n_v, const uint64_t* ax,
+                          const uint64_t* ay) {
+  ((weng::Engine*)ev)->deliver_chain(id, n_u, u, n_v, ax, ay);
 }
 
 // Flatten one read's result; returns n_regs and exposes the per-read blobs.
