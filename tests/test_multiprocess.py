@@ -47,14 +47,21 @@ WORKER = textwrap.dedent("""
     rank = jax.process_index()
     with open(out_path + f".r{{rank}}", "w") as f:
         n = map_file_partitioned(records, io_, mo, wset,
-                                 gold + "/t_reads.fa", out=f, batched=False)
+                                 gold + "/t_reads.fa", out=f,
+                                 batched={batched})
     print("WORKER-DONE", rank, n)
 """)
 
 
-def test_partitioned_two_processes_byte_equal(tmp_path):
+@pytest.mark.parametrize("batched", [False, True])
+def test_partitioned_two_processes_byte_equal(tmp_path, batched):
     """2 jax.distributed processes, index partitioned across them, regions
-    all-gathered and merged at rank 0 == single-process partitioned run."""
+    all-gathered and merged at rank 0 == single-process partitioned run.
+
+    batched=True drives the PRODUCTION engine path (map_batch -> native C++
+    engine + job exchange) inside each worker -- host DP kernels, since the
+    CPU workers have no chip; the engine's device scheduler itself is
+    covered by test_multidev.py on the interpret-mode mesh."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("WM_NO_TPU", None)
@@ -62,7 +69,7 @@ def test_partitioned_two_processes_byte_equal(tmp_path):
     coord = f"localhost:{_free_port()}"
     out = str(tmp_path / "mp_out")
     code = WORKER.format(repo=str(REPO), coord=coord, gold=str(GOLD),
-                         out=out)
+                         out=out, batched=batched)
     procs = [subprocess.Popen([sys.executable, "-c", code, str(i)],
                               env=env, stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)
@@ -87,7 +94,7 @@ def test_partitioned_two_processes_byte_equal(tmp_path):
     ref_out = tmp_path / "sp_out"
     with open(ref_out, "w") as f:
         map_file_partitioned(records, io_, mo, wset,
-                             str(GOLD / "t_reads.fa"), out=f, batched=False,
+                             str(GOLD / "t_reads.fa"), out=f, batched=batched,
                              n_parts=2)
     got = open(out + ".r0").read()
     want = open(ref_out).read()
