@@ -109,8 +109,19 @@ def main():
     tmp.mkdir(parents=True, exist_ok=True)
     ref, reads, rep = ensure_corpus(tmp)
 
+    # Initializing the TPU client when the chip tunnel is down HANGS (not
+    # errors); gate every direct-jit path on the probed device check so a
+    # chip-down bench still emits its JSON line (host path) instead of
+    # hanging the driver.
+    from winnowmap_tpu.map.batch import _use_device
+
+    chip = _use_device()
+    if not chip:
+        log("TPU unreachable (probe failed): host-path bench only")
+        os.environ.setdefault("WM_NO_TPU", "1")
+
     try:
-        gcells = kernel_bench()
+        gcells = kernel_bench() if chip else None
     except Exception as e:  # kernel bench is diagnostic only
         log(f"kernel bench failed: {e}")
         gcells = None

@@ -3,12 +3,20 @@ import sys
 from pathlib import Path
 
 # Multi-chip tests emulate an 8-device mesh on CPU (real TPU has 1 chip here).
-# Set before any jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE-pin (not setdefault): the agent env ships JAX_PLATFORMS=axon, and the
+# axon plugin's interpreter-start registration sets jax.config
+# jax_platforms="axon,cpu", so in-process jits would try to initialize the
+# TPU client — which HANGS (not errors) when the chip tunnel is down.  Tests
+# that need the real chip spawn subprocesses with JAX_PLATFORMS stripped.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault(
     "XLA_FLAGS",
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
 )
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # overrides axon's startup value
 
 import pytest
 

@@ -24,3 +24,25 @@ def enable_compile_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:  # older jax without these knobs: best-effort only
         pass
+
+
+def pin_jax_platforms() -> None:
+    """Honour a JAX_PLATFORMS env request via jax.config BEFORE backend
+    init.  The axon TPU plugin ignores the env var, so a CPU-pinned process
+    would still try to initialize the TPU client — which HANGS (not errors)
+    when the chip tunnel is down.  Device code that jits without going
+    through map.batch._use_device's probed gate must call this first."""
+    import os
+
+    import jax
+
+    req = os.environ.get("JAX_PLATFORMS")
+    if not req:
+        return
+    try:
+        from jax._src import xla_bridge as _xb
+
+        if not _xb.backends_are_initialized():
+            jax.config.update("jax_platforms", req)
+    except Exception:
+        pass
