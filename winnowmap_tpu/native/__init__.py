@@ -37,12 +37,27 @@ def _machine_fingerprint() -> bytes:
     return f"{platform.machine()}|{platform.processor()}|g++{cxx}".encode()
 
 
+def _san_mode() -> str:
+    """Sanitizer build mode (reference analogue: asan/tsan debug builds of
+    the C core).  WM_NATIVE_SAN=address|thread|undefined rebuilds the native
+    library with that sanitizer; the engine's thread pool + job exchange run
+    under tsan, the whole host path under asan (tests/test_native_san.py)."""
+    import os
+
+    mode = os.environ.get("WM_NATIVE_SAN", "")
+    if mode and mode not in ("address", "thread", "undefined"):
+        raise ValueError(f"WM_NATIVE_SAN={mode!r}: use address|thread|undefined")
+    return mode
+
+
 def _lib_path() -> Path:
     h = hashlib.sha256()
     for s in _SOURCES + ["wm_base.h"]:
         h.update((_SRC_DIR / s).read_bytes())
     h.update(_machine_fingerprint())
-    return _BUILD_DIR / f"libwmtpu-{h.hexdigest()[:16]}.so"
+    san = _san_mode()
+    tag = f"-{san[:4]}" if san else ""
+    return _BUILD_DIR / f"libwmtpu-{h.hexdigest()[:16]}{tag}.so"
 
 
 def _build() -> Path:
@@ -50,8 +65,11 @@ def _build() -> Path:
     if out.exists():
         return out
     _BUILD_DIR.mkdir(exist_ok=True)
+    san = _san_mode()
+    opt = (["-O1", f"-fsanitize={san}", "-fno-omit-frame-pointer"]
+           if san else ["-O3", "-march=native", "-funroll-loops"])
     cmd = (
-        ["g++", "-O3", "-march=native", "-funroll-loops", "-g", "-fPIC",
+        ["g++", *opt, "-g", "-fPIC",
          "-shared", "-std=c++17", "-pthread", "-o", str(out)]
         + [str(_SRC_DIR / s) for s in _SOURCES]
         + ["-lz", "-lpthread"]
