@@ -82,3 +82,50 @@ def test_multidev_engine_byte_equal_cpu_mesh():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "MULTIDEV-OK" in proc.stdout
+
+
+KCOUNT_SCRIPT = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=4")
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import winnowmap_tpu.kcount.device as KD
+    import winnowmap_tpu.parallel.kcount as PKC
+    KD.BLOCK = PKC.BLOCK = 1 << 12  # many small blocks -> all 4 devices used
+
+    rng = np.random.default_rng(9)
+    recs = []
+    for i in range(5):
+        g = rng.integers(0, 4, int(rng.integers(3000, 9000)))
+        s = bytes(bytearray(b"ACGT"[int(c)] for c in g))
+        recs.append(type("R", (), {{"name": f"c{{i}}", "seq": s,
+                                    "comment": None}})())
+
+    from winnowmap_tpu.kcount import count_kmers
+    from winnowmap_tpu.parallel.kcount import count_kmers_multidev
+
+    host = count_kmers(recs, 15)
+    for direction in ("canonical", "forward", "reverse"):
+        h = count_kmers(recs, 15, direction=direction)
+        m = count_kmers_multidev(recs, 15, direction=direction,
+                                 devices=jax.devices()[:4])
+        assert np.array_equal(h.kmers, m.kmers), direction
+        assert np.array_equal(h.counts, m.counts), direction
+    print("MULTIDEV-KCOUNT-OK", len(host.kmers))
+""")
+
+
+def test_multidev_kcount_parity():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("WM_NO_TPU", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", KCOUNT_SCRIPT.format(repo=str(REPO))],
+        capture_output=True, text=True, timeout=1200, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "MULTIDEV-KCOUNT-OK" in proc.stdout

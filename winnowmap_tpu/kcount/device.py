@@ -8,8 +8,8 @@ Pipeline shape: base codes from ALL records stream into fixed-size blocks
 block runs ONE jitted roll->sort->RLE on device and returns a sorted unique
 (kmers, counts) run; runs merge host-side with the same chunked two-pointer
 merge the out-of-core counter uses.  Multi-device: blocks are data-parallel
-units — `count_kmers_sharded` (parallel/kcount.py) maps them over a device
-mesh and psum-merges histograms.
+units — `count_kmers_multidev` (parallel/kcount.py) round-robins them over
+the local device mesh and rank-merges the per-device runs.
 """
 from __future__ import annotations
 
@@ -29,6 +29,9 @@ def _compiled_count_block(k: int, n_block: int, direction: str):
     import jax
     import jax.numpy as jnp
 
+    from .. import pin_jax_platforms
+
+    pin_jax_platforms()  # hang-proof vs a down TPU tunnel (see helper)
     if not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
 
@@ -73,10 +76,12 @@ def _compiled_count_block(k: int, n_block: int, direction: str):
     return jax.jit(block)
 
 
-def iter_code_blocks(records, k: int, n_block: int = BLOCK):
+def iter_code_blocks(records, k: int, n_block: int | None = None):
     """Fixed-size base-code blocks spanning record boundaries, with k-1
     sentinel separators between records (a separator is an invalid code, so
     no cross-record k-mers form)."""
+    if n_block is None:
+        n_block = BLOCK  # module attribute at call time (tests patch it)
     buf = np.full(n_block, 255, np.uint8)
     fill = 0
     sep = np.full(k - 1, 255, np.uint8)
