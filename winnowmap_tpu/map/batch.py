@@ -457,6 +457,19 @@ def map_batch(mi, opt, seqs, qnames) -> list[MapResult]:
         from .engine import engine_supported, map_batch_engine
 
         if engine_supported(opt, mi):
+            if (len(seqs) > 1 and _use_device()
+                    and _os.environ.get("WM_PALLAS_INTERPRET") != "1"
+                    and not _os.environ.get("WM_NO_MULTIDEV")):
+                import jax
+
+                devs = jax.local_devices()
+                if len(devs) > 1:
+                    # production multi-chip path: per-device engines +
+                    # rank merge (byte-identical to single-device)
+                    from ..parallel.multidev import map_batch_multidev
+
+                    return map_batch_multidev(mi, opt, seqs, qnames,
+                                              devices=devs)
             return map_batch_engine(mi, opt, seqs, qnames)
     n = len(seqs)
     results: list[MapResult | None] = [None] * n
