@@ -137,7 +137,6 @@ def main():
         f"({summary['n_minimizers']/1e6:.1f} M minimizers)")
 
     # ---- mapping ---------------------------------------------------------
-    from winnowmap_tpu.io.paf import write_paf
     from winnowmap_tpu.map.batch import map_batch
 
     rd = read_all(str(reads))
@@ -146,11 +145,11 @@ def main():
     summary["map_s"] = round(time.time() - t0, 1)
     summary["reads_per_s"] = round(len(rd) / summary["map_s"], 2)
     ours = wd / "scale_ours.paf"
+    from winnowmap_tpu.map.pipeline import _write_read
+
     with open(ours, "w") as f:
         for rec, res in zip(rd, results):
-            for reg in res.regs:
-                write_paf(f, mi, rec.name, len(rec.seq), reg,
-                          res.rep_len, mo)
+            _write_read(mi, mo, rec, res, f)
     log(f"mapped {len(rd)} reads in {summary['map_s']}s")
 
     # ---- differential vs the reference binary ---------------------------

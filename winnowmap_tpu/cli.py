@@ -5,6 +5,7 @@ assembly) against a reference genome and writes PAF or SAM.
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -42,6 +43,7 @@ from .options import (
     set_preset,
     update_mid_occ,
 )
+from .utils import dbg
 from .utils.log import phase_log, peakrss, realtime, cputime, warn
 
 
@@ -124,6 +126,16 @@ def main(argv: list[str] | None = None) -> int:
             mo.junc_bonus = int(take())
         elif a == "--tpu-batch":
             tpu_batch = True
+        elif a == "--print-qname":
+            dbg.flag |= dbg.DBG_PRINT_QNAME
+        elif a == "--dbg-polish":
+            dbg.flag |= dbg.DBG_PRINT_QNAME | dbg.DBG_POLISH
+        elif a == "--print-seeds":
+            # forces the sequential generator path (reference forces 1
+            # thread, main.c:211)
+            dbg.flag |= dbg.DBG_PRINT_QNAME | dbg.DBG_PRINT_SEED
+        elif a == "--print-aln-seq":
+            dbg.flag |= dbg.DBG_PRINT_QNAME | dbg.DBG_PRINT_ALN_SEQ
         elif a == "-k":
             io.k = int(take())
         elif a == "-w":
@@ -306,6 +318,11 @@ def main(argv: list[str] | None = None) -> int:
         cl = "winnowmap-tpu " + " ".join(argv)
         print(sam_header(mi, rg, __version__, cl), file=out)
 
+    if dbg.flag:
+        # debug dumps are ordered stderr traces: sequential per-read path
+        # (reference forces n_threads=1 for seed/aln dumps, main.c:211-215)
+        tpu_batch = False
+        os.environ["WM_NO_ENGINE"] = "1"
     if tpu_batch:
         enable_compile_cache()
     n = 0

@@ -100,8 +100,22 @@ def _seq_of(x):
 
 def align_pair(opt, qseq, tseq, mat, w, end_bonus, zdrop, flag, junc=None):
     """Kernel dispatch (reference mm_align_pair, align.c:313-339)."""
+    from ..utils import dbg
+
     qseq = _seq_of(qseq)
     tseq = _seq_of(tseq)
+    if dbg.flag & dbg.DBG_PRINT_ALN_SEQ:
+        dbg.dump_aln_pre(opt, w, flag, tseq, qseq)
+        r = _align_pair_inner(opt, qseq, tseq, mat, w, end_bonus, zdrop,
+                              flag, junc)
+        dbg.dump_aln_post(r.score, r.cigar)
+        return r
+    return _align_pair_inner(opt, qseq, tseq, mat, w, end_bonus, zdrop,
+                             flag, junc)
+
+
+def _align_pair_inner(opt, qseq, tseq, mat, w, end_bonus, zdrop, flag,
+                      junc=None):
     qlen, tlen = len(qseq), len(tseq)
     if opt.max_sw_mat > 0 and tlen * qlen > opt.max_sw_mat:
         r = native.ExtResult.__new__(native.ExtResult)

@@ -9,6 +9,7 @@ or no confident substring mapping was found.
 from __future__ import annotations
 
 import math
+import sys
 from dataclasses import dataclass
 
 import numpy as np
@@ -25,6 +26,7 @@ from ..options import (
     stage1_options,
     stage2_options,
 )
+from ..utils import dbg
 from . import hit as hitmod
 from .align import align_skeleton_gen, drive_ext_gen
 from .esterr import est_err
@@ -129,6 +131,8 @@ def _pipeline_once_gen(mi, opt, qlen, seq, qname, hash_, run_est_err=True,
     is_splice = bool(opt.flag & MM_F_SPLICE)
     mvx, mvy = collect_minimizers(opt, mi, [qlen], [seq])
     sh = collect_seed_hits(opt, opt.mid_occ, mi, qname, mvx, mvy, qlen)
+    if dbg.flag & dbg.DBG_PRINT_SEED:
+        dbg.dump_seeds(mi, sh.ax, sh.ay, sh.rep_len)
     max_gap_qry, max_gap_ref, min_gap_ref = _chain_gaps(opt, is_sr, qlen)
     from ..chain import chain_dp_auto
 
@@ -142,6 +146,8 @@ def _pipeline_once_gen(mi, opt, qlen, seq, qname, hash_, run_est_err=True,
     # (rechain with a higher occurrence cutoff, reference map.c:391-413, only
     # fires when opt.max_occ > opt.mid_occ which no preset sets)
     regs = hitmod.gen_regs(hash_, qlen, u, ax, ay)
+    if dbg.flag & dbg.DBG_PRINT_SEED:
+        dbg.dump_chains(mi, regs, ax, ay)
     regs = chain_post(opt, max_gap_ref, mi, qlen, 1, regs, ax, ay)
     # NB: the reference runs mm_est_err only inside MCAS stage-1 trials
     # (map.c:426); the final/vanilla pass has it disabled (map.c:928-929),
@@ -157,10 +163,25 @@ def _pipeline_once_gen(mi, opt, qlen, seq, qname, hash_, run_est_err=True,
 def map_one(mi, opt: MapOptions, seq: bytes, qname: str | None) -> MapResult:
     """Map a single read (reference mm_map / mm_map_frag for n_segs==1)."""
     qlen = len(seq)
+    if dbg.flag & dbg.DBG_PRINT_QNAME:
+        dbg.dump_qr(qname, 0, qlen)  # tid 0: dbg modes are single-threaded
+    sv_read = opt.sv_aware and qlen >= opt.sv_aware_min_read_length
+    if (dbg.flag & dbg.DBG_POLISH) and not sv_read:
+        # reference mm_map_frag prints the PO summary/fallback for EVERY
+        # read; only the trial section is length-gated (map.c:313,700-707,
+        # 735-737,849-853)
+        dbg.dump_po_summary(qname, np.zeros(qlen, bool))
+        if opt.sv_aware:
+            sys.stderr.write(
+                f"PO\tqname:{qname}, n_a (before filtering and checking "
+                f"for duplicates) :0\n")
+            sys.stderr.write(
+                f"PO\tfalling back to default mapping algorithm for "
+                f"read: {qname}\n")
     if qlen == 0:
         return MapResult([], 0, 0)
 
-    if opt.sv_aware and qlen >= opt.sv_aware_min_read_length:
+    if sv_read:
         return _map_sv_aware(mi, opt, seq, qname)
     return _map_vanilla(mi, opt, seq, qname)
 
@@ -195,6 +216,8 @@ def _stage2_chain_gen(mi, opt3, qlen, seq, qname, ax_in, ay_in, rep_len,
     map.c:848-954 with pre-collected anchors)."""
     is_sr = bool(opt3.flag & MM_F_SR)
     hash_ = _frag_hash(qname, qlen, opt3.seed)
+    if dbg.flag & dbg.DBG_PRINT_SEED:
+        dbg.dump_seeds(mi, ax_in, ay_in, rep_len)
     max_gap_qry, max_gap_ref, min_gap_ref = _chain_gaps(opt3, is_sr, qlen)
     from ..chain import chain_dp_auto
 
@@ -206,6 +229,8 @@ def _stage2_chain_gen(mi, opt3, qlen, seq, qname, ax_in, ay_in, rep_len,
         gap_scale=opt3.chain_gap_scale, is_cdna=0, n_segs=1,
     )
     regs = hitmod.gen_regs(hash_, qlen, u, ax, ay)
+    if dbg.flag & dbg.DBG_PRINT_SEED:
+        dbg.dump_chains(mi, regs, ax, ay)
     regs = chain_post(opt3, max_gap_ref, mi, qlen, 1, regs, ax, ay)
     # stage 2 skips mm_est_err (reference map.c:928-929 commented out)
     regs = yield from align_regs_gen(opt3, mi, qlen, seq, regs, ax, ay,
@@ -239,25 +264,31 @@ class McasState:
         sub_begin = suffix_id * opt2.suffix_sample_offset
         if sub_begin >= qlen:
             sub_begin = qlen - 1
+        found = False
+        max_mapq_current = 0  # reference map.c:339 (for the PO trace)
         sub_len = opt2.min_prefix_length
         while sub_len <= opt2.max_prefix_length:
             if sub_begin + sub_len <= qlen:
-                found, n_regs0 = yield from _mcas_try_gen(
+                found, n_regs0, mq = yield from _mcas_try_gen(
                     mi, opt2, seq, qname, sub_begin, sub_len, False, qlen,
                     self.collect_ax, self.collect_ay, self.seq_mapped,
                     suffix_id, self.qseq0,
                 )
+                max_mapq_current = max(max_mapq_current, mq)
                 if found or not n_regs0:
-                    return
+                    break
             if sub_begin - sub_len + 1 >= 0:
-                found, n_regs0 = yield from _mcas_try_gen(
+                found, n_regs0, mq = yield from _mcas_try_gen(
                     mi, opt2, seq, qname, sub_begin, sub_len, True, qlen,
                     self.collect_ax, self.collect_ay, self.seq_mapped,
                     suffix_id, self.qseq0,
                 )
+                max_mapq_current = max(max_mapq_current, mq)
                 if found or not n_regs0:
-                    return
+                    break
             sub_len = int(sub_len * opt2.prefix_increment_factor)
+        if (dbg.flag & dbg.DBG_POLISH) and not found:
+            dbg.dump_po_pos_none(qname, sub_begin, max_mapq_current)
 
 
 def _map_sv_aware(mi, opt, seq, qname) -> MapResult:
@@ -271,6 +302,8 @@ def _map_sv_aware(mi, opt, seq, qname) -> MapResult:
 
 def mcas_stage2_gen(mi, opt, seq, qname, st: McasState):
     """Anchor pooling + stage-2 re-chain/re-align (reference map.c:713-954)."""
+    if dbg.flag & dbg.DBG_POLISH:
+        dbg.dump_po_summary(qname, st.seq_mapped)  # reference map.c:700-707
     qlen = len(seq)
     collect_ax, collect_ay = st.collect_ax, st.collect_ay
     seq_mapped = st.seq_mapped
@@ -283,6 +316,11 @@ def mcas_stage2_gen(mi, opt, seq, qname, st: McasState):
         for i in range(n_starts)
         if collect_ax[i] is not None and len(collect_ax[i]) > 0
     ]
+    if (dbg.flag & dbg.DBG_POLISH) and opt.sv_aware:
+        n_a0 = sum(len(p[0]) for p in pooled)
+        sys.stderr.write(
+            f"PO\tqname:{qname}, n_a (before filtering and checking for "
+            f"duplicates) :{n_a0}\n")
     rep_len = 0
     rep_len_defined = False
     if pooled:
@@ -294,6 +332,10 @@ def mcas_stage2_gen(mi, opt, seq, qname, st: McasState):
         if len(ax) > 1:
             keep[1:] = (ax[1:] != ax[:-1]) | (ay[1:] != ay[:-1])
         ax, ay = ax[keep], ay[keep]
+        if dbg.flag & dbg.DBG_POLISH:
+            sys.stderr.write(
+                f"PO\tqname:{qname}, n_a (after filtering and checking for "
+                f"duplicates) :{len(ax)}, min_cnt:{opt3.min_cnt}\n")
         # already sorted by (x, y); reference re-sorts by x (stable) which
         # preserves this order
         if len(ax) < opt3.min_cnt:
@@ -319,6 +361,10 @@ def mcas_stage2_gen(mi, opt, seq, qname, st: McasState):
     if ax is None:  # MCAS unusable: vanilla fallback with original options
         # NB: fallback jobs carry `opt`, not opt3 (scoring identical; only
         # band/gap params differ and those ride inside each job tuple)
+        if (dbg.flag & dbg.DBG_POLISH) and opt.sv_aware:
+            sys.stderr.write(
+                f"PO\tfalling back to default mapping algorithm for "
+                f"read: {qname}\n")
         result = yield from _map_vanilla_gen(mi, opt, seq, qname,
                                              qseq0=st.qseq0)
         return result
@@ -364,8 +410,13 @@ def _mcas_try_gen(mi, opt2, seq, qname, sub_begin, sub_len, left, qlen,
         mi, opt2, sub_len, sub, qname, hash_, run_est_err=True, qseq0=sub_q0
     )
     n_regs0 = len(regs0)
+    max_mapq = 0  # reference map.c:447-453 (PO trace bookkeeping)
     for r in regs0:
+        max_mapq = max(max_mapq, r.mapq)
         if r.mapq >= opt2.min_mapq and r.blen >= opt2.min_qcov * sub_len and r.cnt > 0:
+            if dbg.flag & dbg.DBG_POLISH:
+                dbg.dump_po_found(qname, qlen, r, mi, suffix_id, sub_begin,
+                                  -sub_len if left else sub_len)
             sel_ax = ax[r.as_ : r.as_ + r.cnt].copy()
             sel_ay = ay[r.as_ : r.as_ + r.cnt].copy()
             # shift anchor query coordinates into whole-read space
@@ -383,5 +434,9 @@ def _mcas_try_gen(mi, opt2, seq, qname, sub_begin, sub_len, left, qlen,
             collect_ax[suffix_id] = sel_ax
             collect_ay[suffix_id] = sel_ay
             seq_mapped[start : start + sub_len] = True
-            return True, n_regs0
-    return False, n_regs0
+            return True, n_regs0, max_mapq
+    if dbg.flag & dbg.DBG_POLISH:
+        dbg.dump_po_trial_none(qname, suffix_id, sub_begin,
+                               -sub_len if left else sub_len, max_mapq,
+                               n_regs0)
+    return False, n_regs0, max_mapq

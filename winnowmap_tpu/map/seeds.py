@@ -146,7 +146,7 @@ def collect_seed_hits(opt, max_occ, mi, qname, mv_x, mv_y, qlen) -> SeedHits:
         y = np.where(fwd, y_fwd, y_rev)
         y |= sid_v << np.uint64(MM_SEED_SEG_SHIFT)
         y = np.where(tan_v, y | np.uint64(MM_SEED_TANDEM), y)
-        order = np.argsort(x, kind="stable")
+        order = _anchor_order(x)
         return SeedHits(x[order], y[order], int(rep_len), mini_pos)
 
     ax = np.empty(total, dtype=np.uint64)
@@ -199,5 +199,17 @@ def collect_seed_hits(opt, max_occ, mi, qname, mv_x, mv_y, qlen) -> SeedHits:
             w += 1
     ax = ax[:w]
     ay = ay[:w]
-    order = np.argsort(ax, kind="stable")
+    order = _anchor_order(ax)
     return SeedHits(ax[order], ay[order], int(rep_len), mini_pos)
+
+def _anchor_order(x: "np.ndarray"):
+    """Anchor sort permutation.  Production: numpy stable sort by x.  Debug
+    dump modes replicate the reference's UNSTABLE in-place radix order
+    (ksort.h) so SD/CN trace lines are byte-identical; final mapping output
+    is equal either way (equal-x order never changes results on the golden
+    corpora -- asserted by the e2e tests)."""
+    from ..utils import dbg
+
+    if dbg.flag & (dbg.DBG_PRINT_SEED | dbg.DBG_POLISH):
+        return dbg.ref_radix_argsort(x)
+    return np.argsort(x, kind="stable")
