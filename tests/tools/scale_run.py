@@ -122,10 +122,10 @@ def main():
     from winnowmap_tpu.index.build import build_index, load_weight_set
     from winnowmap_tpu.io.fastx import read_all
     from winnowmap_tpu.options import (IndexOptions, MapOptions, MM_F_CIGAR,
-                                       update_mid_occ)
+                                       MM_F_OUT_CG, update_mid_occ)
 
     io_, mo = IndexOptions(), MapOptions()
-    mo.flag |= MM_F_CIGAR
+    mo.flag |= MM_F_CIGAR | MM_F_OUT_CG  # like the CLI's -c
     t0 = time.time()
     wset = load_weight_set(str(rep), io_.k)
     records = read_all(str(ref))
@@ -153,23 +153,43 @@ def main():
     log(f"mapped {len(rd)} reads in {summary['map_s']}s")
 
     # ---- differential vs the reference binary ---------------------------
-    if os.path.exists(args.oracle):
-        t0 = time.time()
-        log("running reference oracle")
-        ref_out = wd / "scale_ref.paf"
-        with open(ref_out, "w") as f:
-            subprocess.run(
-                [args.oracle, "-t", "1", "-c", "-W", str(rep), str(ref),
-                 str(reads)], stdout=f, stderr=subprocess.DEVNULL,
-                check=True, timeout=14400)
-        summary["oracle_s"] = round(time.time() - t0, 1)
+    ref_out = wd / "scale_ref.paf"
+    if os.path.exists(args.oracle) or ref_out.exists():
+        if not ref_out.exists():
+            t0 = time.time()
+            log("running reference oracle")
+            with open(ref_out, "w") as f:
+                subprocess.run(
+                    [args.oracle, "-t", "1", "-c", "-W", str(rep), str(ref),
+                     str(reads)], stdout=f, stderr=subprocess.DEVNULL,
+                    check=True, timeout=14400)
+            summary["oracle_s"] = round(time.time() - t0, 1)
         a = sorted(open(ours).read().splitlines())
         b = sorted(open(ref_out).read().splitlines())
         same = sum(1 for x, y in zip(a, b) if x == y)
         summary["paf_lines_ours"] = len(a)
         summary["paf_lines_ref"] = len(b)
         summary["paf_lines_equal"] = same
-        log(f"differential: {same}/{max(len(a), len(b))} identical lines")
+
+        # alignment-field differential: the documented exact-set-vs-bloom
+        # design difference moves the chain-statistic tags (cm/s1) and the
+        # reference's uninitialized rl on every read at this scale; the
+        # alignment itself (coords, CIGAR, NM, AS, MAPQ) must match.
+        def _norm(lines):
+            drop = ("cm", "s1", "s2", "rl")
+            out = []
+            for ln in lines:
+                f = ln.split("\t")
+                out.append("\t".join(
+                    f[:12] + [t for t in f[12:]
+                              if t.split(":")[0] not in drop]))
+            return sorted(out)
+
+        an, bn = _norm(a), _norm(b)
+        same_aln = sum(1 for x, y in zip(an, bn) if x == y)
+        summary["paf_alnfields_equal"] = same_aln
+        log(f"differential: {same}/{max(len(a), len(b))} identical lines; "
+            f"{same_aln} identical in all alignment fields")
 
     summary["peak_rss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
