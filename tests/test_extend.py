@@ -96,3 +96,62 @@ def test_sw_score_basic():
     assert sc == 16
     assert te == 9  # target end of the perfect 8-mer match
     assert qe == 7
+
+
+def test_extd_fast_matches_oracle():
+    """The AVX-512 host extd (wm_extd_fast) must be bit-identical to the
+    scalar oracle across scoring profiles, flag modes, band widths, and
+    N-base fringe cases (falls back to scalar on CPUs without AVX-512BW,
+    where this degenerates to scalar==scalar)."""
+    rng = np.random.default_rng(17)
+
+    def mutate(t, sub, ind):
+        out = []
+        i = 0
+        while i < len(t):
+            r = rng.random()
+            if r < ind / 2:
+                i += 1
+                continue
+            if r < ind:
+                out.append(rng.integers(0, 4))
+                continue
+            out.append((t[i] + 1 + rng.integers(0, 3)) % 4
+                       if r < ind + sub else t[i])
+            i += 1
+        return np.array(out, np.uint8)
+
+    # (q, e, q2, e2, mch, mis): map-ont, asm5 (int8-wrap heavy), asm20,
+    # and a swapped-cost pair exercising the canonicalise branch
+    profiles = [(4, 2, 24, 1, 2, -4), (39, 3, 81, 1, 1, -19),
+                (6, 2, 26, 1, 1, -4), (24, 2, 4, 1, 2, -4)]
+    flags = [0x0, 0x08 | 0x10, 0x02, 0x40 | 0x02 | 0x80, 0x01,
+             0x18 | 0x01, 0x40 | 0x80, 0x18 | 0x02]
+    n_case = 0
+    for q, e, q2, e2, mch, mis in profiles:
+        mat = np.zeros(25, np.int8)
+        for a in range(4):
+            for b in range(4):
+                mat[a * 5 + b] = mch if a == b else mis
+        for trial in range(4):
+            n = int(rng.integers(30, 700))
+            t = rng.integers(0, 4, n).astype(np.uint8)
+            qv = mutate(t, 0.10, 0.10)
+            if trial % 2:
+                t = t.copy()
+                t[rng.integers(0, len(t), 3)] = 4  # ambiguous bases
+            for w in (-1, 50, 400):
+                for flag in flags:
+                    zd = 100 if flag & 0x10 else 200
+                    h = native.extd(qv, t, mat, q, e, q2, e2, w, zd, 10, flag)
+                    f = native.extd(qv, t, mat, q, e, q2, e2, w, zd, 10,
+                                    flag, fast=True)
+                    key = ("max", "zdropped", "max_q", "max_t", "mqe",
+                           "mqe_t", "mte", "mte_q", "score", "reach_end")
+                    for k in key:
+                        assert getattr(h, k) == getattr(f, k), \
+                            (k, (q, e, q2, e2), hex(flag), w, n)
+                    assert np.array_equal(h.cigar, f.cigar), \
+                        ((q, e, q2, e2), hex(flag), w, n)
+                    n_case += 1
+    assert n_case == 384

@@ -134,6 +134,8 @@ def lib() -> ctypes.CDLL:
             ctypes.POINTER(_ExtResult),
         ]
         L.wm_extd.restype = None
+        L.wm_extd_fast.argtypes = L.wm_extd.argtypes
+        L.wm_extd_fast.restype = None
         L.wm_exts.argtypes = [
             ctypes.c_int, u8p, ctypes.c_int, u8p, ctypes.c_int, i8p,
             ctypes.c_int8, ctypes.c_int8, ctypes.c_int8, ctypes.c_int8,
@@ -410,14 +412,19 @@ def extz(qseq, tseq, mat, q, e, w, zdrop, end_bonus, flag) -> ExtResult:
     return out
 
 
-def extd(qseq, tseq, mat, q, e, q2, e2, w, zdrop, end_bonus, flag) -> ExtResult:
+def extd(qseq, tseq, mat, q, e, q2, e2, w, zdrop, end_bonus, flag,
+         fast: bool = False) -> ExtResult:
+    """Dual-cost extension.  fast=True uses the AVX-512 host kernel
+    (wm_extd_fast: runtime dispatch, bit-identical, scalar fallback);
+    default is the scalar oracle for parity tests."""
     L = lib()
     r = _ExtResult()
     qseq = np.ascontiguousarray(qseq, dtype=np.uint8)
     tseq = np.ascontiguousarray(tseq, dtype=np.uint8)
     mat = np.ascontiguousarray(mat, dtype=np.int8)
-    L.wm_extd(len(qseq), qseq, len(tseq), tseq, 5, mat, q, e, q2, e2, w,
-              zdrop, end_bonus, flag, ctypes.byref(r))
+    fn = L.wm_extd_fast if fast else L.wm_extd
+    fn(len(qseq), qseq, len(tseq), tseq, 5, mat, q, e, q2, e2, w,
+       zdrop, end_bonus, flag, ctypes.byref(r))
     out = ExtResult(r)
     if r.n_cigar:
         L.wm_free(r.cigar)

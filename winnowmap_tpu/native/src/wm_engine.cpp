@@ -50,6 +50,10 @@ void wm_extd(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
              int m, const int8_t* mat, int8_t q, int8_t e, int8_t q2,
              int8_t e2, int w, int zdrop, int end_bonus, int flag,
              wm_ext_result* ez);
+void wm_extd_fast(int qlen, const uint8_t* query, int tlen,
+                  const uint8_t* target, int m, const int8_t* mat, int8_t q,
+                  int8_t e, int8_t q2, int8_t e2, int w, int zdrop,
+                  int end_bonus, int flag, wm_ext_result* ez);
 void wm_exts(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
              int m, const int8_t* mat, int8_t q, int8_t e, int8_t q2,
              int8_t noncan, int zdrop, int8_t junc_bonus, int flag,
@@ -1380,9 +1384,9 @@ class Engine {
       wm_extz(j.qlen, qp, j.tlen, tp, 5, mats[j.prof], (int8_t)o.q,
               (int8_t)o.e, j.w, j.zdrop, j.end_bonus, j.ezflag, ez);
     else
-      wm_extd(j.qlen, qp, j.tlen, tp, 5, mats[j.prof], (int8_t)o.q,
-              (int8_t)o.e, (int8_t)o.q2, (int8_t)o.e2, j.w, j.zdrop,
-              j.end_bonus, j.ezflag, ez);
+      wm_extd_fast(j.qlen, qp, j.tlen, tp, 5, mats[j.prof], (int8_t)o.q,
+                   (int8_t)o.e, (int8_t)o.q2, (int8_t)o.e2, j.w, j.zdrop,
+                   j.end_bonus, j.ezflag, ez);
   }
 
   // submit a group of jobs; returns when every result is available.
