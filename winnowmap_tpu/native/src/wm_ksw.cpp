@@ -171,7 +171,11 @@ __attribute__((target("avx512f,avx512bw,avx512vl"))) void wm_extd_avx512(
   std::fill(x2.begin(), x2.end(), (int8_t)(-q2 - e2));
   std::fill(y2.begin(), y2.end(), (int8_t)(-q2 - e2));
   std::fill(s.begin(), s.end(), (int8_t)0);
-  std::vector<uint8_t> qr(((qlen + 15) / 16) * 16 + PAD, 0);
+  // qr gets a 64-byte FRONT pad: the fused score row loads at qidx =
+  // qlen-1-r+t with t down to st (16-rounded below st0), so qidx can dip
+  // to -15; the pad keeps those (cover-masked-off) lanes in-bounds
+  std::vector<uint8_t> qrbuf(((qlen + 15) / 16) * 16 + PAD + 64, 0);
+  uint8_t* qr = qrbuf.data() + 64;
   for (int t = 0; t < qlen; ++t) qr[t] = query[qlen - 1 - t];
   std::vector<uint8_t> tpad(tlen16 + PAD, 0);
   std::memcpy(tpad.data(), target, tlen);
@@ -246,25 +250,11 @@ __attribute__((target("avx512f,avx512bw,avx512vl"))) void wm_extd_avx512(
                                : (int8_t)(-e2);
     }
 
-    // ---- score row over [st0, cover], 64 lanes at a time (the scalar
-    // oracle writes exactly this 16-block-covered span; lanes outside it
-    // keep their stale values, which later rows read — semantics preserved
-    // by the tail-masked stores)
+    // score row fused into the band loop below: new scores cover exactly
+    // [st0, cover] (the scalar oracle's 16-block-covered span); lanes
+    // outside keep their stale s values, which later rows read
     const int cover = st0 + (en0 - st0) / 16 * 16 + 15;
-    const int bq = qlen - 1 - r;  // qidx = bq + t, always >= 0 for t >= st0
-    for (int t = st0; t <= cover; t += 64) {
-      int rem = cover - t + 1;
-      __mmask64 km = rem >= 64 ? ~(__mmask64)0
-                               : (((__mmask64)1 << rem) - 1);
-      __m512i a = _mm512_loadu_si512((const void*)(tpad.data() + t));
-      __m512i b = _mm512_loadu_si512((const void*)(qr.data() + bq + t));
-      __mmask64 keq = _mm512_cmpeq_epi8_mask(a, b);
-      __mmask64 kn = _mm512_cmpeq_epi8_mask(a, vN) |
-                     _mm512_cmpeq_epi8_mask(b, vN);
-      __m512i sc = _mm512_mask_mov_epi8(vmis, keq, vmch);
-      sc = _mm512_mask_mov_epi8(sc, kn, vscN);
-      _mm512_mask_storeu_epi8((void*)(s.data() + t), km, sc);
-    }
+    const int bq = qlen - 1 - r;  // qidx = bq + t; front pad covers t >= st
 
     // ---- old-row shifted x/x2/v (carry at lane 0)
     const int len = en - st + 1;  // multiple of 16
@@ -288,7 +278,27 @@ __attribute__((target("avx512f,avx512bw,avx512vl"))) void wm_extd_avx512(
       __m512i ut = _mm512_loadu_si512((const void*)(u.data() + t));
       __m512i yt = _mm512_loadu_si512((const void*)(y.data() + t));
       __m512i y2t = _mm512_loadu_si512((const void*)(y2.data() + t));
+      // fused score row: fresh scores on the cover lanes, stale elsewhere
       __m512i z = _mm512_loadu_si512((const void*)(s.data() + t));
+      {
+        int lo = st0 > t ? st0 - t : 0;
+        int hi = cover - t < 63 ? cover - t : 63;
+        if (hi >= lo) {
+          __mmask64 kc =
+              (hi - lo == 63 ? ~(__mmask64)0
+                             : (((__mmask64)1 << (hi - lo + 1)) - 1))
+              << lo;
+          __m512i ta = _mm512_loadu_si512((const void*)(tpad.data() + t));
+          __m512i qb = _mm512_loadu_si512((const void*)(qr + bq + t));
+          __mmask64 keq = _mm512_cmpeq_epi8_mask(ta, qb);
+          __mmask64 kn = _mm512_cmpeq_epi8_mask(ta, vN) |
+                         _mm512_cmpeq_epi8_mask(qb, vN);
+          __m512i sc = _mm512_mask_mov_epi8(vmis, keq, vmch);
+          sc = _mm512_mask_mov_epi8(sc, kn, vscN);
+          z = _mm512_mask_mov_epi8(z, kc, sc);
+          _mm512_mask_storeu_epi8((void*)(s.data() + t), kc, sc);
+        }
+      }
       __m512i a = _mm512_add_epi8(xt1, vt1);
       __m512i b = _mm512_add_epi8(yt, ut);
       __m512i a2 = _mm512_add_epi8(x2t1, vt1);
@@ -358,6 +368,23 @@ __attribute__((target("avx512f,avx512bw,avx512vl"))) void wm_extd_avx512(
       _mm512_mask_storeu_epi8((void*)(y2.data() + t), km, y2n);
       if (with_cigar)
         _mm512_mask_storeu_epi8((void*)(prow + o), km, d);
+    }
+
+    // the scalar score row covers [st0, cover], which can stick out past
+    // en by up to 15 lanes; those writes are dead for THIS row but later
+    // rows read them as stale values — write them too
+    if (cover > en) {
+      int t0c = en + 1;
+      int hi = cover - t0c;  // 0..14
+      __mmask64 kc = (((__mmask64)1 << (hi + 1)) - 1);
+      __m512i ta = _mm512_loadu_si512((const void*)(tpad.data() + t0c));
+      __m512i qb = _mm512_loadu_si512((const void*)(qr + bq + t0c));
+      __mmask64 keq = _mm512_cmpeq_epi8_mask(ta, qb);
+      __mmask64 kn = _mm512_cmpeq_epi8_mask(ta, vN) |
+                     _mm512_cmpeq_epi8_mask(qb, vN);
+      __m512i sc = _mm512_mask_mov_epi8(vmis, keq, vmch);
+      sc = _mm512_mask_mov_epi8(sc, kn, vscN);
+      _mm512_mask_storeu_epi8((void*)(s.data() + t0c), kc, sc);
     }
 
     if (!approx_max) {
