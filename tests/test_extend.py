@@ -155,3 +155,60 @@ def test_extd_fast_matches_oracle():
                         ((q, e, q2, e2), hex(flag), w, n)
                     n_case += 1
     assert n_case == 384
+
+
+def test_exts_fast_matches_oracle():
+    """The AVX-512 spliced host kernel (wm_exts_fast) must be bit-identical
+    to the scalar oracle across splice flag modes, junction annotations, and
+    intron-bearing cases (scalar fallback where AVX-512BW is absent)."""
+    rng = np.random.default_rng(23)
+    q_, e_, q2_, noncan, jb = 2, 1, 32, 9, 9
+    mat = np.zeros(25, np.int8)
+    for a in range(4):
+        for b in range(4):
+            mat[a * 5 + b] = 1 if a == b else -2
+
+    def make_case(n_ex=3):
+        exons = [rng.integers(0, 4, int(rng.integers(40, 160))).astype(
+            np.uint8) for _ in range(n_ex)]
+        introns = [rng.integers(0, 4, int(rng.integers(60, 300))).astype(
+            np.uint8) for _ in range(n_ex - 1)]
+        for it in introns:  # canonical GT..AG
+            it[0], it[1] = 2, 3
+            it[-2], it[-1] = 0, 2
+        t_parts = []
+        for i, ex in enumerate(exons):
+            t_parts.append(ex)
+            if i < len(introns):
+                t_parts.append(introns[i])
+        t = np.concatenate(t_parts)
+        qv = np.concatenate(exons).copy()
+        idx = rng.integers(0, len(qv), max(1, len(qv) // 20))
+        qv[idx] = (qv[idx] + 1 + rng.integers(0, 3, len(idx))) % 4
+        return qv, t
+
+    flags = [0x100, 0x100 | 0x18, 0x200 | 0x400, 0x100 | 0x200 | 0x800,
+             0x100 | 0x01, 0x100 | 0x02, 0x100 | 0x80 | 0x40,
+             0x100 | 0x18 | 0x01]
+    keys = ("max", "zdropped", "max_q", "max_t", "mqe", "mqe_t", "mte",
+            "mte_q", "score", "reach_end")
+    n_case = 0
+    for trial in range(5):
+        qv, t = make_case()
+        junc = np.zeros(len(t), np.uint8)
+        junc[rng.integers(0, len(t), 8)] = rng.integers(1, 16, 8).astype(
+            np.uint8)
+        for flag in flags:
+            for jv in (None, junc):
+                zd = 100 if flag & 0x10 else 200
+                h = native.exts(qv, t, mat, q_, e_, q2_, noncan, zd, jb,
+                                flag, junc=jv)
+                f = native.exts(qv, t, mat, q_, e_, q2_, noncan, zd, jb,
+                                flag, junc=jv, fast=True)
+                for k in keys:
+                    assert getattr(h, k) == getattr(f, k), \
+                        (k, trial, hex(flag), jv is not None)
+                assert np.array_equal(h.cigar, f.cigar), \
+                    (trial, hex(flag), jv is not None)
+                n_case += 1
+    assert n_case == 80

@@ -128,7 +128,7 @@ def _align_pair_inner(opt, qseq, tseq, mat, w, end_bonus, zdrop, flag,
         return r
     if opt.flag & MM_F_SPLICE:
         return native.exts(qseq, tseq, mat, opt.q, opt.e, opt.q2, opt.noncan,
-                           zdrop, opt.junc_bonus, flag, junc=junc)
+                           zdrop, opt.junc_bonus, flag, junc=junc, fast=True)
     if opt.q == opt.q2 and opt.e == opt.e2:
         return native.extz(qseq, tseq, mat, opt.q, opt.e, w, zdrop, end_bonus, flag)
     return native.extd(

@@ -143,6 +143,8 @@ def lib() -> ctypes.CDLL:
             ctypes.POINTER(_ExtResult),
         ]
         L.wm_exts.restype = None
+        L.wm_exts_fast.argtypes = L.wm_exts.argtypes
+        L.wm_exts_fast.restype = None
         L.wm_sw_i16.argtypes = [
             ctypes.c_int, u8p, ctypes.c_int, u8p, ctypes.c_int, i8p,
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
@@ -432,8 +434,9 @@ def extd(qseq, tseq, mat, q, e, q2, e2, w, zdrop, end_bonus, flag,
 
 
 def exts(qseq, tseq, mat, q, e, q2, noncan, zdrop, junc_bonus, flag,
-         junc=None) -> ExtResult:
-    """Spliced extension (reference ksw_exts2_sse, src/ksw2_exts2_sse.c)."""
+         junc=None, fast: bool = False) -> ExtResult:
+    """Spliced extension (reference ksw_exts2_sse, src/ksw2_exts2_sse.c).
+    fast=True uses the AVX-512 host kernel (bit-identical, dispatching)."""
     L = lib()
     r = _ExtResult()
     qseq = np.ascontiguousarray(qseq, dtype=np.uint8)
@@ -443,8 +446,9 @@ def exts(qseq, tseq, mat, q, e, q2, noncan, zdrop, junc_bonus, flag,
     if junc is not None:
         junc = np.ascontiguousarray(junc, dtype=np.uint8)
         jp = junc.ctypes.data_as(ctypes.c_void_p)
-    L.wm_exts(len(qseq), qseq, len(tseq), tseq, 5, mat, q, e, q2, noncan,
-              zdrop, junc_bonus, flag, jp, ctypes.byref(r))
+    fn = L.wm_exts_fast if fast else L.wm_exts
+    fn(len(qseq), qseq, len(tseq), tseq, 5, mat, q, e, q2, noncan,
+       zdrop, junc_bonus, flag, jp, ctypes.byref(r))
     out = ExtResult(r)
     if r.n_cigar:
         L.wm_free(r.cigar)

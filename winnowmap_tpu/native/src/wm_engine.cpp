@@ -58,6 +58,11 @@ void wm_exts(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
              int m, const int8_t* mat, int8_t q, int8_t e, int8_t q2,
              int8_t noncan, int zdrop, int8_t junc_bonus, int flag,
              const uint8_t* junc, wm_ext_result* ez);
+void wm_exts_fast(int qlen, const uint8_t* query, int tlen,
+                  const uint8_t* target, int m, const int8_t* mat, int8_t q,
+                  int8_t e, int8_t q2, int8_t noncan, int zdrop,
+                  int8_t junc_bonus, int flag, const uint8_t* junc,
+                  wm_ext_result* ez);
 int wm_sw_i16(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
               int m, const int8_t* mat, int gapo, int gape, int* qe_out,
               int* te_out);
@@ -1377,9 +1382,9 @@ class Engine {
       }
     }
     if (o.flag & MM_F_SPLICE)
-      wm_exts(j.qlen, qp, j.tlen, tp, 5, mats[j.prof], (int8_t)o.q,
-              (int8_t)o.e, (int8_t)o.q2, (int8_t)o.noncan, j.zdrop,
-              (int8_t)o.junc_bonus, j.ezflag, nullptr, ez);
+      wm_exts_fast(j.qlen, qp, j.tlen, tp, 5, mats[j.prof], (int8_t)o.q,
+                   (int8_t)o.e, (int8_t)o.q2, (int8_t)o.noncan, j.zdrop,
+                   (int8_t)o.junc_bonus, j.ezflag, nullptr, ez);
     else if (o.q == o.q2 && o.e == o.e2)
       wm_extz(j.qlen, qp, j.tlen, tp, 5, mats[j.prof], (int8_t)o.q,
               (int8_t)o.e, j.w, j.zdrop, j.end_bonus, j.ezflag, ez);

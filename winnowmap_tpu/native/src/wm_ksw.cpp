@@ -494,6 +494,389 @@ __attribute__((target("avx512f,avx512bw,avx512vl"))) void wm_extd_avx512(
   }
 }
 
+// 64-lane AVX-512BW core for the spliced kernel (reference
+// ksw2_exts2_sse.c semantics as encoded by the scalar wm_exts below):
+// x2 is the intron channel opened against the per-position donor floor and
+// closed with the acceptor score; unbanded rows; no score clamp; boundary
+// ladder tail 0; zdrop gap penalty 0.  Bit-identical to wm_exts
+// (tests/test_extend.py::test_exts_fast_matches_oracle).
+__attribute__((target("avx512f,avx512bw,avx512vl"))) void wm_exts_avx512(
+    int qlen, const uint8_t* query, int tlen, const uint8_t* target, int m,
+    const int8_t* mat, int8_t q, int8_t e, int8_t q2, int8_t noncan,
+    int zdrop, int8_t junc_bonus, int flag, const uint8_t* junc,
+    wm_ext_result* ez) {
+  reset_result(ez);
+  if (m <= 1 || qlen <= 0 || tlen <= 0 || q2 <= q + e) return;
+
+  const int qe = q + e;
+  const int with_cigar = !(flag & WM_EZ_SCORE_ONLY);
+  const int approx_max = !!(flag & WM_EZ_APPROX_MAX);
+  const int right_gaps = !!(flag & WM_EZ_RIGHT);
+  const int rev_cigar = !!(flag & WM_EZ_REV_CIGAR);
+  const int8_t sc_mch = mat[0], sc_mis = mat[1];
+  const int8_t sc_N = mat[m * m - 1] == 0 ? (int8_t)(-e) : mat[m * m - 1];
+
+  const int tlen16 = (tlen + 15) / 16 * 16;
+  int n_col = qlen < tlen ? qlen : tlen;
+  n_col = ((n_col + 15) / 16 + 1) * 16;
+
+  int min_sc = mat[1];
+  for (int t = 1; t < m * m; ++t) min_sc = min_sc < mat[t] ? min_sc : mat[t];
+  if (-min_sc > 2 * (q + e)) return;
+
+  int long_thres = (q2 - q) / e - 1;
+  if (q2 > q + e + long_thres * e) ++long_thres;
+  const int long_diff = long_thres * e - (q2 - q);
+
+  const int PAD = 96;
+  std::vector<int8_t> u(tlen16 + PAD), v(tlen16 + PAD), x(tlen16 + PAD),
+      y(tlen16 + PAD), x2(tlen16 + PAD), s(tlen16 + PAD, 0),
+      donor(tlen16 + PAD, 0), acceptor(tlen16 + PAD, 0);
+  std::fill(u.begin(), u.end(), (int8_t)(-q - e));
+  std::fill(v.begin(), v.end(), (int8_t)(-q - e));
+  std::fill(x.begin(), x.end(), (int8_t)(-q - e));
+  std::fill(y.begin(), y.end(), (int8_t)(-q - e));
+  std::fill(x2.begin(), x2.end(), (int8_t)(-q2));
+  std::vector<uint8_t> qrbuf(((qlen + 15) / 16) * 16 + PAD + 64, 0);
+  uint8_t* qr = qrbuf.data() + 64;
+  for (int t = 0; t < qlen; ++t) qr[t] = query[qlen - 1 - t];
+  std::vector<uint8_t> tpad(tlen16 + PAD, 0);
+  std::memcpy(tpad.data(), target, tlen);
+  std::vector<int8_t> tx(n_col + PAD), tx2(n_col + PAD), tv(n_col + PAD);
+
+  // donor/acceptor site scores: identical scalar precompute to wm_exts
+  const int spl_for = !!(flag & WM_EZ_SPLICE_FOR);
+  const int spl_rev = !!(flag & WM_EZ_SPLICE_REV);
+  if (spl_for || spl_rev) {
+    int semi_cost = (flag & WM_EZ_SPLICE_FLANK) ? -noncan / 2 : 0;
+    std::fill(donor.begin(), donor.begin() + tlen16 + 32, (int8_t)(-noncan));
+    std::fill(acceptor.begin(), acceptor.begin() + tlen16 + 32,
+              (int8_t)(-noncan));
+    if (!rev_cigar) {
+      for (int t = 0; t < tlen - 4; ++t) {
+        int can_type = 0;
+        if (spl_for && target[t + 1] == 2 && target[t + 2] == 3) can_type = 1;
+        if (spl_rev && target[t + 1] == 1 && target[t + 2] == 3) can_type = 1;
+        if (can_type && (target[t + 3] == 0 || target[t + 3] == 2))
+          can_type = 2;
+        if (can_type) donor[t] = can_type == 2 ? 0 : (int8_t)semi_cost;
+      }
+      if (junc)
+        for (int t = 0; t < tlen - 1; ++t)
+          if ((spl_for && (junc[t + 1] & 1)) || (spl_rev && (junc[t + 1] & 8)))
+            donor[t] = (int8_t)(donor[t] + junc_bonus);
+      for (int t = 2; t < tlen; ++t) {
+        int can_type = 0;
+        if (spl_for && target[t - 1] == 0 && target[t] == 2) can_type = 1;
+        if (spl_rev && target[t - 1] == 0 && target[t] == 1) can_type = 1;
+        if (can_type && (target[t - 2] == 1 || target[t - 2] == 3))
+          can_type = 2;
+        if (can_type) acceptor[t] = can_type == 2 ? 0 : (int8_t)semi_cost;
+      }
+      if (junc)
+        for (int t = 0; t < tlen; ++t)
+          if ((spl_for && (junc[t] & 2)) || (spl_rev && (junc[t] & 4)))
+            acceptor[t] = (int8_t)(acceptor[t] + junc_bonus);
+    } else {
+      for (int t = 0; t < tlen - 4; ++t) {
+        int can_type = 0;
+        if (spl_for && target[t + 1] == 2 && target[t + 2] == 0) can_type = 1;
+        if (spl_rev && target[t + 1] == 1 && target[t + 2] == 0) can_type = 1;
+        if (can_type && (target[t + 3] == 1 || target[t + 3] == 3))
+          can_type = 2;
+        if (can_type) donor[t] = can_type == 2 ? 0 : (int8_t)semi_cost;
+      }
+      if (junc)
+        for (int t = 0; t < tlen - 1; ++t)
+          if ((spl_for && (junc[t + 1] & 2)) || (spl_rev && (junc[t + 1] & 4)))
+            donor[t] = (int8_t)(donor[t] + junc_bonus);
+      for (int t = 2; t < tlen; ++t) {
+        int can_type = 0;
+        if (spl_for && target[t - 1] == 3 && target[t] == 2) can_type = 1;
+        if (spl_rev && target[t - 1] == 3 && target[t] == 1) can_type = 1;
+        if (can_type && (target[t - 2] == 0 || target[t - 2] == 2))
+          can_type = 2;
+        if (can_type) acceptor[t] = can_type == 2 ? 0 : (int8_t)semi_cost;
+      }
+      if (junc)
+        for (int t = 0; t < tlen; ++t)
+          if ((spl_for && (junc[t] & 1)) || (spl_rev && (junc[t] & 8)))
+            acceptor[t] = (int8_t)(acceptor[t] + junc_bonus);
+    }
+  }
+
+  std::vector<int32_t> H;
+  int32_t H0 = 0, last_H0_t = 0;
+  if (!approx_max) H.assign(tlen16 + 16, WM_NEG_INF);
+
+  std::vector<uint8_t> p;
+  std::vector<int> off, off_end;
+  if (with_cigar) {
+    p.assign((size_t)(qlen + tlen - 1) * n_col, 0);
+    off.assign(qlen + tlen - 1, 0);
+    off_end.assign(qlen + tlen - 1, 0);
+  }
+
+  const __m512i vzero = _mm512_setzero_si512();
+  const __m512i vone = _mm512_set1_epi8(1);
+  const __m512i vtwo = _mm512_set1_epi8(2);
+  const __m512i vthree = _mm512_set1_epi8(3);
+  const __m512i vN = _mm512_set1_epi8((char)(m - 1));
+  const __m512i vmch = _mm512_set1_epi8(sc_mch);
+  const __m512i vmis = _mm512_set1_epi8(sc_mis);
+  const __m512i vscN = _mm512_set1_epi8(sc_N);
+  const __m512i vq = _mm512_set1_epi8(q);
+  const __m512i vq2 = _mm512_set1_epi8(q2);
+  const __m512i vqe = _mm512_set1_epi8((char)qe);
+  const __m512i vb08 = _mm512_set1_epi8(0x08);
+  const __m512i vb10 = _mm512_set1_epi8(0x10);
+  const __m512i vb20 = _mm512_set1_epi8(0x20);
+
+  int last_st = -1, last_en = -1;
+  for (int r = 0; r < qlen + tlen - 1; ++r) {
+    int st = 0, en = tlen - 1;
+    if (st < r - qlen + 1) st = r - qlen + 1;
+    if (en > r) en = r;
+    const int st0 = st, en0 = en;
+    st = st / 16 * 16;
+    en = (en + 16) / 16 * 16 - 1;
+
+    int8_t x1, x21, v1;
+    if (st > 0) {
+      if (st - 1 >= last_st && st - 1 <= last_en)
+        x1 = x[st - 1], x21 = x2[st - 1], v1 = v[st - 1];
+      else
+        x1 = (int8_t)(-q - e), x21 = (int8_t)(-q2), v1 = (int8_t)(-q - e);
+    } else {
+      x1 = (int8_t)(-q - e), x21 = (int8_t)(-q2);
+      v1 = r == 0            ? (int8_t)(-q - e)
+           : r < long_thres  ? (int8_t)(-e)
+           : r == long_thres ? (int8_t)long_diff
+                             : (int8_t)0;
+    }
+    if (en >= r) {
+      y[r] = (int8_t)(-q - e);
+      u[r] = r == 0            ? (int8_t)(-q - e)
+             : r < long_thres  ? (int8_t)(-e)
+             : r == long_thres ? (int8_t)long_diff
+                               : (int8_t)0;
+    }
+
+    const int cover = st0 + (en0 - st0) / 16 * 16 + 15;
+    const int bq = qlen - 1 - r;
+
+    const int len = en - st + 1;
+    tx[0] = x1;
+    tx2[0] = x21;
+    tv[0] = v1;
+    std::memcpy(tx.data() + 1, x.data() + st, len - 1);
+    std::memcpy(tx2.data() + 1, x2.data() + st, len - 1);
+    std::memcpy(tv.data() + 1, v.data() + st, len - 1);
+
+    uint8_t* prow = with_cigar ? p.data() + (size_t)r * n_col : nullptr;
+    if (with_cigar) off[r] = st, off_end[r] = en;
+    for (int t = st; t <= en; t += 64) {
+      int rem = en - t + 1;
+      __mmask64 km = rem >= 64 ? ~(__mmask64)0
+                               : (((__mmask64)1 << rem) - 1);
+      const int o = t - st;
+      __m512i xt1 = _mm512_loadu_si512((const void*)(tx.data() + o));
+      __m512i x2t1 = _mm512_loadu_si512((const void*)(tx2.data() + o));
+      __m512i vt1 = _mm512_loadu_si512((const void*)(tv.data() + o));
+      __m512i ut = _mm512_loadu_si512((const void*)(u.data() + t));
+      __m512i yt = _mm512_loadu_si512((const void*)(y.data() + t));
+      __m512i vdon = _mm512_loadu_si512((const void*)(donor.data() + t));
+      __m512i vacc = _mm512_loadu_si512((const void*)(acceptor.data() + t));
+      __m512i z = _mm512_loadu_si512((const void*)(s.data() + t));
+      {
+        int lo = st0 > t ? st0 - t : 0;
+        int hi = cover - t < 63 ? cover - t : 63;
+        if (hi >= lo) {
+          __mmask64 kc =
+              (hi - lo == 63 ? ~(__mmask64)0
+                             : (((__mmask64)1 << (hi - lo + 1)) - 1))
+              << lo;
+          __m512i ta = _mm512_loadu_si512((const void*)(tpad.data() + t));
+          __m512i qb = _mm512_loadu_si512((const void*)(qr + bq + t));
+          __mmask64 keq = _mm512_cmpeq_epi8_mask(ta, qb);
+          __mmask64 kn = _mm512_cmpeq_epi8_mask(ta, vN) |
+                         _mm512_cmpeq_epi8_mask(qb, vN);
+          __m512i sc = _mm512_mask_mov_epi8(vmis, keq, vmch);
+          sc = _mm512_mask_mov_epi8(sc, kn, vscN);
+          z = _mm512_mask_mov_epi8(z, kc, sc);
+          _mm512_mask_storeu_epi8((void*)(s.data() + t), kc, sc);
+        }
+      }
+      __m512i a = _mm512_add_epi8(xt1, vt1);
+      __m512i b = _mm512_add_epi8(yt, ut);
+      __m512i a2 = _mm512_add_epi8(x2t1, vt1);
+      __m512i a2a = _mm512_add_epi8(a2, vacc);
+      __m512i d;
+      if (!right_gaps) {
+        __mmask64 k = _mm512_cmpgt_epi8_mask(a, z);
+        d = _mm512_maskz_mov_epi8(k, vone);
+        z = _mm512_max_epi8(z, a);
+        k = _mm512_cmpgt_epi8_mask(b, z);
+        d = _mm512_mask_mov_epi8(d, k, vtwo);
+        z = _mm512_max_epi8(z, b);
+        k = _mm512_cmpgt_epi8_mask(a2a, z);
+        d = _mm512_mask_mov_epi8(d, k, vthree);
+        z = _mm512_max_epi8(z, a2a);
+      } else {
+        __mmask64 k = _mm512_cmpgt_epi8_mask(z, a);
+        d = _mm512_mask_mov_epi8(vone, k, vzero);
+        z = _mm512_max_epi8(z, a);
+        k = _knot_mask64(_mm512_cmpgt_epi8_mask(z, b));
+        d = _mm512_mask_mov_epi8(d, k, vtwo);
+        z = _mm512_max_epi8(z, b);
+        k = _knot_mask64(_mm512_cmpgt_epi8_mask(z, a2a));
+        d = _mm512_mask_mov_epi8(d, k, vthree);
+        z = _mm512_max_epi8(z, a2a);
+      }
+      __m512i un = _mm512_sub_epi8(z, vt1);
+      __m512i vn = _mm512_sub_epi8(z, ut);
+      __m512i zq = _mm512_sub_epi8(z, vq);
+      __m512i zq2 = _mm512_sub_epi8(z, vq2);
+      __m512i an = _mm512_sub_epi8(a, zq);
+      __m512i bn = _mm512_sub_epi8(b, zq);
+      __m512i a2n = _mm512_sub_epi8(a2, zq2);
+      __mmask64 ax, bx, a2x;
+      if (!right_gaps) {
+        ax = _mm512_cmpgt_epi8_mask(an, vzero);
+        bx = _mm512_cmpgt_epi8_mask(bn, vzero);
+        a2x = _mm512_cmpgt_epi8_mask(a2n, vdon);
+      } else {
+        ax = _knot_mask64(_mm512_cmpgt_epi8_mask(vzero, an));
+        bx = _knot_mask64(_mm512_cmpgt_epi8_mask(vzero, bn));
+        a2x = _knot_mask64(_mm512_cmpgt_epi8_mask(vdon, a2n));
+      }
+      __m512i xn = _mm512_sub_epi8(_mm512_maskz_mov_epi8(ax, an), vqe);
+      __m512i yn = _mm512_sub_epi8(_mm512_maskz_mov_epi8(bx, bn), vqe);
+      __m512i x2n = _mm512_sub_epi8(
+          _mm512_mask_mov_epi8(vdon, a2x, a2n), vq2);
+      d = _mm512_mask_add_epi8(d, ax, d, vb08);
+      d = _mm512_mask_add_epi8(d, bx, d, vb10);
+      d = _mm512_mask_add_epi8(d, a2x, d, vb20);
+      _mm512_mask_storeu_epi8((void*)(u.data() + t), km, un);
+      _mm512_mask_storeu_epi8((void*)(v.data() + t), km, vn);
+      _mm512_mask_storeu_epi8((void*)(x.data() + t), km, xn);
+      _mm512_mask_storeu_epi8((void*)(y.data() + t), km, yn);
+      _mm512_mask_storeu_epi8((void*)(x2.data() + t), km, x2n);
+      if (with_cigar)
+        _mm512_mask_storeu_epi8((void*)(prow + o), km, d);
+    }
+
+    if (cover > en) {
+      int t0c = en + 1;
+      int hi = cover - t0c;
+      __mmask64 kc = (((__mmask64)1 << (hi + 1)) - 1);
+      __m512i ta = _mm512_loadu_si512((const void*)(tpad.data() + t0c));
+      __m512i qb = _mm512_loadu_si512((const void*)(qr + bq + t0c));
+      __mmask64 keq = _mm512_cmpeq_epi8_mask(ta, qb);
+      __mmask64 kn = _mm512_cmpeq_epi8_mask(ta, vN) |
+                     _mm512_cmpeq_epi8_mask(qb, vN);
+      __m512i sc = _mm512_mask_mov_epi8(vmis, keq, vmch);
+      sc = _mm512_mask_mov_epi8(sc, kn, vscN);
+      _mm512_mask_storeu_epi8((void*)(s.data() + t0c), kc, sc);
+    }
+
+    if (!approx_max) {
+      int32_t max_H, max_t;
+      if (r > 0) {
+        max_H = H[en0] = en0 > 0 ? H[en0 - 1] + (int32_t)u[en0]
+                                 : H[en0] + (int32_t)v[en0];
+        max_t = en0;
+        int en1 = st0 + (en0 - st0) / 4 * 4;
+        int32_t HH[4], tt[4];
+        for (int l = 0; l < 4; ++l) HH[l] = max_H, tt[l] = max_t;
+        int t = st0;
+        int en1_16 = st0 + (en1 - st0) / 16 * 16;
+        if (en1_16 - st0 >= 16) {
+          __m512i vmax = _mm512_set1_epi32(max_H);
+          __m512i vidx = _mm512_set1_epi32(en0);
+          const __m512i lane_iota = _mm512_setr_epi32(
+              0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15);
+          for (; t < en1_16; t += 16) {
+            __m128i v8 = _mm_loadu_si128((const __m128i*)(v.data() + t));
+            __m512i Hv = _mm512_add_epi32(
+                _mm512_loadu_si512((const void*)(H.data() + t)),
+                _mm512_cvtepi8_epi32(v8));
+            _mm512_storeu_si512((void*)(H.data() + t), Hv);
+            __mmask16 kk = _mm512_cmpgt_epi32_mask(Hv, vmax);
+            vmax = _mm512_mask_mov_epi32(vmax, kk, Hv);
+            vidx = _mm512_mask_mov_epi32(
+                vidx, kk, _mm512_add_epi32(lane_iota, _mm512_set1_epi32(t)));
+          }
+          int32_t lm[16], li[16];
+          _mm512_storeu_si512((void*)lm, vmax);
+          _mm512_storeu_si512((void*)li, vidx);
+          for (int l = 0; l < 4; ++l)
+            for (int j = l; j < 16; j += 4)
+              if (lm[j] > HH[l] || (lm[j] == HH[l] && li[j] < tt[l]))
+                HH[l] = lm[j], tt[l] = li[j];
+        }
+        for (; t < en1; t += 4)
+          for (int l = 0; l < 4; ++l) {
+            H[t + l] += (int32_t)v[t + l];
+            if (H[t + l] > HH[l]) HH[l] = H[t + l], tt[l] = t + l;
+          }
+        for (int l = 0; l < 4; ++l)
+          if (HH[l] > max_H) max_H = HH[l], max_t = tt[l];
+        for (; t < en0; ++t) {
+          H[t] += (int32_t)v[t];
+          if (H[t] > max_H) max_H = H[t], max_t = t;
+        }
+      } else {
+        H[0] = (int32_t)v[0] - qe;
+        max_H = H[0];
+        max_t = 0;
+      }
+      if (en0 == tlen - 1 && H[en0] > ez->mte)
+        ez->mte = H[en0], ez->mte_q = r - en;
+      if (r - st0 == qlen - 1 && H[st0] > ez->mqe)
+        ez->mqe = H[st0], ez->mqe_t = st0;
+      if (apply_zdrop(ez, max_H, r, max_t, zdrop, 0)) break;
+      if (r == qlen + tlen - 2 && en0 == tlen - 1) ez->score = H[tlen - 1];
+    } else {
+      if (r > 0) {
+        if (last_H0_t >= st0 && last_H0_t <= en0 && last_H0_t + 1 >= st0 &&
+            last_H0_t + 1 <= en0) {
+          int32_t d0 = (int32_t)v[last_H0_t];
+          int32_t d1 = (int32_t)u[last_H0_t + 1];
+          if (d0 > d1)
+            H0 += d0;
+          else
+            H0 += d1, ++last_H0_t;
+        } else if (last_H0_t >= st0 && last_H0_t <= en0) {
+          H0 += (int32_t)v[last_H0_t];
+        } else {
+          ++last_H0_t;
+          H0 += (int32_t)u[last_H0_t];
+        }
+      } else {
+        H0 = (int32_t)v[0] - qe;
+        last_H0_t = 0;
+      }
+      if ((flag & WM_EZ_APPROX_DROP) &&
+          apply_zdrop(ez, H0, r, last_H0_t, zdrop, 0))
+        break;
+      if (r == qlen + tlen - 2 && en0 == tlen - 1) ez->score = H0;
+    }
+    last_st = st, last_en = en;
+  }
+
+  if (with_cigar) {
+    CigarBuf cb;
+    if (!ez->zdropped && !(flag & WM_EZ_EXTZ_ONLY))
+      traceback_intron(p.data(), off.data(), off_end.data(), n_col, tlen - 1,
+                       qlen - 1, rev_cigar, long_thres, &cb);
+    else if (ez->max_t >= 0 && ez->max_q >= 0)
+      traceback_intron(p.data(), off.data(), off_end.data(), n_col, ez->max_t,
+                       ez->max_q, rev_cigar, long_thres, &cb);
+    finish_cigar(cb, ez);
+  }
+}
+
 }  // namespace
 #endif  // WM_SIMD_X86
 
@@ -1308,6 +1691,34 @@ void wm_exts(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
 // extension scoring.  The striped lane layout changes which (qe, te) wins a
 // tied maximum, so the padding and scan order are reproduced exactly.
 // ---------------------------------------------------------------------------
+// Production host exts: AVX-512BW when available (same dispatch rules as
+// wm_extd_fast), scalar oracle otherwise.
+void wm_exts_fast(int qlen, const uint8_t* query, int tlen,
+                  const uint8_t* target, int m, const int8_t* mat, int8_t q,
+                  int8_t e, int8_t q2, int8_t noncan, int zdrop,
+                  int8_t junc_bonus, int flag, const uint8_t* junc,
+                  wm_ext_result* ez) {
+#ifdef WM_SIMD_X86
+  static int simd_ok = -1;
+  if (simd_ok < 0) {
+    simd_ok = 0;
+    if (!std::getenv("WM_NO_SIMD")) {
+      __builtin_cpu_init();
+      if (__builtin_cpu_supports("avx512bw") &&
+          __builtin_cpu_supports("avx512vl"))
+        simd_ok = 1;
+    }
+  }
+  if (simd_ok && !(flag & WM_EZ_GENERIC_SC)) {
+    wm_exts_avx512(qlen, query, tlen, target, m, mat, q, e, q2, noncan,
+                   zdrop, junc_bonus, flag, junc, ez);
+    return;
+  }
+#endif
+  wm_exts(qlen, query, tlen, target, m, mat, q, e, q2, noncan, zdrop,
+          junc_bonus, flag, junc, ez);
+}
+
 int wm_sw_i16(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
               int m, const int8_t* mat, int gapo, int gape, int* qe_out,
               int* te_out) {
