@@ -212,3 +212,57 @@ def test_exts_fast_matches_oracle():
                     (trial, hex(flag), jv is not None)
                 n_case += 1
     assert n_case == 80
+
+
+def test_extz_fast_matches_oracle():
+    """The AVX-512 single-cost host kernel (wm_extz_fast) must be
+    bit-identical to the scalar oracle — including its mixed signed-compare
+    / unsigned-max semantics — across profiles, flags and band widths."""
+    rng = np.random.default_rng(31)
+
+    def mutate(t, sub, ind):
+        out = []
+        i = 0
+        while i < len(t):
+            r = rng.random()
+            if r < ind / 2:
+                i += 1
+                continue
+            if r < ind:
+                out.append(rng.integers(0, 4))
+                continue
+            out.append((t[i] + 1 + rng.integers(0, 3)) % 4
+                       if r < ind + sub else t[i])
+            i += 1
+        return np.array(out, np.uint8)
+
+    flags = [0x0, 0x08 | 0x10, 0x02, 0x40 | 0x02 | 0x80, 0x01,
+             0x18 | 0x01, 0x40 | 0x80, 0x18 | 0x02]
+    keys = ("max", "zdropped", "max_q", "max_t", "mqe", "mqe_t", "mte",
+            "mte_q", "score", "reach_end")
+    n_case = 0
+    for q, e, mch, mis in [(4, 2, 2, -4), (12, 2, 1, -3), (6, 1, 1, -2)]:
+        mat = np.zeros(25, np.int8)
+        for a in range(4):
+            for b in range(4):
+                mat[a * 5 + b] = mch if a == b else mis
+        for trial in range(4):
+            n = int(rng.integers(30, 700))
+            t = rng.integers(0, 4, n).astype(np.uint8)
+            qv = mutate(t, 0.10, 0.10)
+            if trial % 2:
+                t = t.copy()
+                t[rng.integers(0, len(t), 3)] = 4
+            for w in (-1, 50, 400):
+                for flag in flags:
+                    zd = 100 if flag & 0x10 else 200
+                    h = native.extz(qv, t, mat, q, e, w, zd, 10, flag)
+                    f = native.extz(qv, t, mat, q, e, w, zd, 10, flag,
+                                    fast=True)
+                    for k in keys:
+                        assert getattr(h, k) == getattr(f, k), \
+                            (k, (q, e), hex(flag), w, n)
+                    assert np.array_equal(h.cigar, f.cigar), \
+                        ((q, e), hex(flag), w, n)
+                    n_case += 1
+    assert n_case == 288

@@ -130,7 +130,8 @@ def _align_pair_inner(opt, qseq, tseq, mat, w, end_bonus, zdrop, flag,
         return native.exts(qseq, tseq, mat, opt.q, opt.e, opt.q2, opt.noncan,
                            zdrop, opt.junc_bonus, flag, junc=junc, fast=True)
     if opt.q == opt.q2 and opt.e == opt.e2:
-        return native.extz(qseq, tseq, mat, opt.q, opt.e, w, zdrop, end_bonus, flag)
+        return native.extz(qseq, tseq, mat, opt.q, opt.e, w, zdrop,
+                           end_bonus, flag, fast=True)
     return native.extd(
         qseq, tseq, mat, opt.q, opt.e, opt.q2, opt.e2, w, zdrop, end_bonus,
         flag, fast=True

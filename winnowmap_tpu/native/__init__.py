@@ -127,6 +127,8 @@ def lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(_ExtResult),
         ]
         L.wm_extz.restype = None
+        L.wm_extz_fast.argtypes = L.wm_extz.argtypes
+        L.wm_extz_fast.restype = None
         L.wm_extd.argtypes = [
             ctypes.c_int, u8p, ctypes.c_int, u8p, ctypes.c_int, i8p,
             ctypes.c_int8, ctypes.c_int8, ctypes.c_int8, ctypes.c_int8,
@@ -400,14 +402,16 @@ class ExtResult:
             self.cigar = np.zeros(0, dtype=np.uint32)
 
 
-def extz(qseq, tseq, mat, q, e, w, zdrop, end_bonus, flag) -> ExtResult:
+def extz(qseq, tseq, mat, q, e, w, zdrop, end_bonus, flag,
+         fast: bool = False) -> ExtResult:
     L = lib()
     r = _ExtResult()
     qseq = np.ascontiguousarray(qseq, dtype=np.uint8)
     tseq = np.ascontiguousarray(tseq, dtype=np.uint8)
     mat = np.ascontiguousarray(mat, dtype=np.int8)
-    L.wm_extz(len(qseq), qseq, len(tseq), tseq, 5, mat, q, e, w, zdrop,
-              end_bonus, flag, ctypes.byref(r))
+    fn = L.wm_extz_fast if fast else L.wm_extz
+    fn(len(qseq), qseq, len(tseq), tseq, 5, mat, q, e, w, zdrop,
+       end_bonus, flag, ctypes.byref(r))
     out = ExtResult(r)
     if r.n_cigar:
         L.wm_free(r.cigar)

@@ -46,6 +46,10 @@ int64_t wm_sdust(const uint8_t* seq, int64_t l_seq, int T, int W,
 void wm_extz(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
              int m, const int8_t* mat, int8_t q, int8_t e, int w, int zdrop,
              int end_bonus, int flag, wm_ext_result* ez);
+void wm_extz_fast(int qlen, const uint8_t* query, int tlen,
+                  const uint8_t* target, int m, const int8_t* mat, int8_t q,
+                  int8_t e, int w, int zdrop, int end_bonus, int flag,
+                  wm_ext_result* ez);
 void wm_extd(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
              int m, const int8_t* mat, int8_t q, int8_t e, int8_t q2,
              int8_t e2, int w, int zdrop, int end_bonus, int flag,
@@ -1386,8 +1390,8 @@ class Engine {
                    (int8_t)o.e, (int8_t)o.q2, (int8_t)o.noncan, j.zdrop,
                    (int8_t)o.junc_bonus, j.ezflag, nullptr, ez);
     else if (o.q == o.q2 && o.e == o.e2)
-      wm_extz(j.qlen, qp, j.tlen, tp, 5, mats[j.prof], (int8_t)o.q,
-              (int8_t)o.e, j.w, j.zdrop, j.end_bonus, j.ezflag, ez);
+      wm_extz_fast(j.qlen, qp, j.tlen, tp, 5, mats[j.prof], (int8_t)o.q,
+                   (int8_t)o.e, j.w, j.zdrop, j.end_bonus, j.ezflag, ez);
     else
       wm_extd_fast(j.qlen, qp, j.tlen, tp, 5, mats[j.prof], (int8_t)o.q,
                    (int8_t)o.e, (int8_t)o.q2, (int8_t)o.e2, j.w, j.zdrop,

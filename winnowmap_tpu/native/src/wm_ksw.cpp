@@ -494,6 +494,305 @@ __attribute__((target("avx512f,avx512bw,avx512vl"))) void wm_extd_avx512(
   }
 }
 
+// 64-lane AVX-512BW core for the single-cost kernel (reference
+// ksw2_extz2_sse.c as encoded by the scalar wm_extz below).  State is
+// biased-unsigned uint8 exactly like the SSE kernel; the mixed
+// signed-compare / unsigned-max semantics of the scalar (epi8 compares for
+// the direction bits, epu8 max/min for the clamp) are preserved
+// instruction-for-instruction.  Bit-identical to wm_extz
+// (tests/test_extend.py::test_extz_fast_matches_oracle).
+__attribute__((target("avx512f,avx512bw,avx512vl"))) void wm_extz_avx512(
+    int qlen, const uint8_t* query, int tlen, const uint8_t* target, int m,
+    const int8_t* mat, int8_t q, int8_t e, int w, int zdrop, int end_bonus,
+    int flag, wm_ext_result* ez) {
+  reset_result(ez);
+  if (m <= 0 || qlen <= 0 || tlen <= 0) return;
+
+  const int qe = q + e, qe2 = 2 * (q + e);
+  const int with_cigar = !(flag & WM_EZ_SCORE_ONLY);
+  const int approx_max = !!(flag & WM_EZ_APPROX_MAX);
+  const int right_gaps = !!(flag & WM_EZ_RIGHT);
+  const uint8_t sc_mch = (uint8_t)mat[0];
+  const uint8_t sc_mis = (uint8_t)mat[1];
+  const uint8_t sc_N =
+      mat[m * m - 1] == 0 ? (uint8_t)(-e) : (uint8_t)mat[m * m - 1];
+  const uint8_t max_sc = (uint8_t)(mat[0] + qe2);
+
+  if (w < 0) w = tlen > qlen ? tlen : qlen;
+  const int wl = w, wr = w;
+  const int tlen16 = (tlen + 15) / 16 * 16;
+  int n_col = qlen < tlen ? qlen : tlen;
+  n_col = (((n_col < w + 1 ? n_col : w + 1) + 15) / 16 + 1) * 16;
+
+  int min_sc = mat[1];
+  for (int t = 1; t < m * m; ++t) min_sc = min_sc < mat[t] ? min_sc : mat[t];
+  if (-min_sc > qe2) return;
+
+  const int PAD = 96;
+  std::vector<uint8_t> u(tlen16 + PAD, 0), v(tlen16 + PAD, 0),
+      x(tlen16 + PAD, 0), y(tlen16 + PAD, 0), s(tlen16 + PAD, 0);
+  std::vector<uint8_t> qrbuf(((qlen + 15) / 16) * 16 + PAD + 64, 0);
+  uint8_t* qr = qrbuf.data() + 64;
+  for (int t = 0; t < qlen; ++t) qr[t] = query[qlen - 1 - t];
+  std::vector<uint8_t> tpad(tlen16 + PAD, 0);
+  std::memcpy(tpad.data(), target, tlen);
+  std::vector<uint8_t> tx(n_col + PAD), tv(n_col + PAD);
+
+  std::vector<int32_t> H;
+  int32_t H0 = 0, last_H0_t = 0;
+  if (!approx_max) H.assign(tlen16 + 16, WM_NEG_INF);
+
+  std::vector<uint8_t> p;
+  std::vector<int> off, off_end;
+  if (with_cigar) {
+    p.assign((size_t)(qlen + tlen - 1) * n_col, 0);
+    off.assign(qlen + tlen - 1, 0);
+    off_end.assign(qlen + tlen - 1, 0);
+  }
+
+  const __m512i vzero = _mm512_setzero_si512();
+  const __m512i vone = _mm512_set1_epi8(1);
+  const __m512i vtwo = _mm512_set1_epi8(2);
+  const __m512i vN = _mm512_set1_epi8((char)(m - 1));
+  const __m512i vmch = _mm512_set1_epi8((char)sc_mch);
+  const __m512i vmis = _mm512_set1_epi8((char)sc_mis);
+  const __m512i vscN = _mm512_set1_epi8((char)sc_N);
+  const __m512i vq = _mm512_set1_epi8(q);
+  const __m512i vqe2 = _mm512_set1_epi8((char)qe2);
+  const __m512i vmaxsc = _mm512_set1_epi8((char)max_sc);
+  const __m512i vb08 = _mm512_set1_epi8(0x08);
+  const __m512i vb10 = _mm512_set1_epi8(0x10);
+
+  int last_st = -1, last_en = -1;
+  for (int r = 0; r < qlen + tlen - 1; ++r) {
+    int st = 0, en = tlen - 1;
+    if (st < r - qlen + 1) st = r - qlen + 1;
+    if (en > r) en = r;
+    if (st < (r - wr + 1) >> 1) st = (r - wr + 1) >> 1;
+    if (en > (r + wl) >> 1) en = (r + wl) >> 1;
+    if (st > en) {
+      ez->zdropped = 1;
+      break;
+    }
+    const int st0 = st, en0 = en;
+    st = st / 16 * 16;
+    en = (en + 16) / 16 * 16 - 1;
+
+    uint8_t x1, v1;
+    if (st > 0) {
+      if (st - 1 >= last_st && st - 1 <= last_en)
+        x1 = x[st - 1], v1 = v[st - 1];
+      else
+        x1 = v1 = 0;
+    } else {
+      x1 = 0;
+      v1 = r ? (uint8_t)q : 0;
+    }
+    if (en >= r) y[r] = 0, u[r] = r ? (uint8_t)q : 0;
+
+    const int cover = st0 + (en0 - st0) / 16 * 16 + 15;
+    const int bq = qlen - 1 - r;
+
+    const int len = en - st + 1;
+    tx[0] = x1;
+    tv[0] = v1;
+    std::memcpy(tx.data() + 1, x.data() + st, len - 1);
+    std::memcpy(tv.data() + 1, v.data() + st, len - 1);
+
+    uint8_t* prow = with_cigar ? p.data() + (size_t)r * n_col : nullptr;
+    if (with_cigar) off[r] = st, off_end[r] = en;
+    for (int t = st; t <= en; t += 64) {
+      int rem = en - t + 1;
+      __mmask64 km = rem >= 64 ? ~(__mmask64)0
+                               : (((__mmask64)1 << rem) - 1);
+      const int o = t - st;
+      __m512i xt1 = _mm512_loadu_si512((const void*)(tx.data() + o));
+      __m512i vt1 = _mm512_loadu_si512((const void*)(tv.data() + o));
+      __m512i ut = _mm512_loadu_si512((const void*)(u.data() + t));
+      __m512i yt = _mm512_loadu_si512((const void*)(y.data() + t));
+      __m512i sv = _mm512_loadu_si512((const void*)(s.data() + t));
+      {
+        int lo = st0 > t ? st0 - t : 0;
+        int hi = cover - t < 63 ? cover - t : 63;
+        if (hi >= lo) {
+          __mmask64 kc =
+              (hi - lo == 63 ? ~(__mmask64)0
+                             : (((__mmask64)1 << (hi - lo + 1)) - 1))
+              << lo;
+          __m512i ta = _mm512_loadu_si512((const void*)(tpad.data() + t));
+          __m512i qb = _mm512_loadu_si512((const void*)(qr + bq + t));
+          __mmask64 keq = _mm512_cmpeq_epi8_mask(ta, qb);
+          __mmask64 kn = _mm512_cmpeq_epi8_mask(ta, vN) |
+                         _mm512_cmpeq_epi8_mask(qb, vN);
+          __m512i sc = _mm512_mask_mov_epi8(vmis, keq, vmch);
+          sc = _mm512_mask_mov_epi8(sc, kn, vscN);
+          sv = _mm512_mask_mov_epi8(sv, kc, sc);
+          _mm512_mask_storeu_epi8((void*)(s.data() + t), kc, sc);
+        }
+      }
+      __m512i z = _mm512_add_epi8(sv, vqe2);
+      __m512i a = _mm512_add_epi8(xt1, vt1);
+      __m512i b = _mm512_add_epi8(yt, ut);
+      __m512i d;
+      if (!right_gaps) {
+        __mmask64 k = _mm512_cmpgt_epi8_mask(a, z);
+        d = _mm512_maskz_mov_epi8(k, vone);
+        z = _mm512_max_epi8(z, a);
+        k = _mm512_cmpgt_epi8_mask(b, z);
+        d = _mm512_mask_mov_epi8(d, k, vtwo);
+      } else {
+        __mmask64 k = _mm512_cmpgt_epi8_mask(z, a);
+        d = _mm512_mask_mov_epi8(vone, k, vzero);
+        z = _mm512_max_epi8(z, a);
+        k = _knot_mask64(_mm512_cmpgt_epi8_mask(z, b));
+        d = _mm512_mask_mov_epi8(d, k, vtwo);
+      }
+      z = _mm512_max_epu8(z, b);
+      z = _mm512_min_epu8(z, vmaxsc);
+      __m512i un = _mm512_sub_epi8(z, vt1);
+      __m512i vn = _mm512_sub_epi8(z, ut);
+      __m512i zq = _mm512_sub_epi8(z, vq);
+      __m512i an = _mm512_sub_epi8(a, zq);
+      __m512i bn = _mm512_sub_epi8(b, zq);
+      __mmask64 ax, bx;
+      if (!right_gaps) {
+        ax = _mm512_cmpgt_epi8_mask(an, vzero);
+        bx = _mm512_cmpgt_epi8_mask(bn, vzero);
+      } else {
+        ax = _knot_mask64(_mm512_cmpgt_epi8_mask(vzero, an));
+        bx = _knot_mask64(_mm512_cmpgt_epi8_mask(vzero, bn));
+      }
+      __m512i xn = _mm512_maskz_mov_epi8(ax, an);
+      __m512i yn = _mm512_maskz_mov_epi8(bx, bn);
+      d = _mm512_mask_add_epi8(d, ax, d, vb08);
+      d = _mm512_mask_add_epi8(d, bx, d, vb10);
+      _mm512_mask_storeu_epi8((void*)(u.data() + t), km, un);
+      _mm512_mask_storeu_epi8((void*)(v.data() + t), km, vn);
+      _mm512_mask_storeu_epi8((void*)(x.data() + t), km, xn);
+      _mm512_mask_storeu_epi8((void*)(y.data() + t), km, yn);
+      if (with_cigar)
+        _mm512_mask_storeu_epi8((void*)(prow + o), km, d);
+    }
+
+    if (cover > en) {
+      int t0c = en + 1;
+      int hi = cover - t0c;
+      __mmask64 kc = (((__mmask64)1 << (hi + 1)) - 1);
+      __m512i ta = _mm512_loadu_si512((const void*)(tpad.data() + t0c));
+      __m512i qb = _mm512_loadu_si512((const void*)(qr + bq + t0c));
+      __mmask64 keq = _mm512_cmpeq_epi8_mask(ta, qb);
+      __mmask64 kn = _mm512_cmpeq_epi8_mask(ta, vN) |
+                     _mm512_cmpeq_epi8_mask(qb, vN);
+      __m512i sc = _mm512_mask_mov_epi8(vmis, keq, vmch);
+      sc = _mm512_mask_mov_epi8(sc, kn, vscN);
+      _mm512_mask_storeu_epi8((void*)(s.data() + t0c), kc, sc);
+    }
+
+    if (!approx_max) {
+      int32_t max_H, max_t;
+      if (r > 0) {
+        max_H = H[en0] = en0 > 0 ? H[en0 - 1] + (int32_t)u[en0] - qe
+                                 : H[en0] + (int32_t)v[en0] - qe;
+        max_t = en0;
+        int en1 = st0 + (en0 - st0) / 4 * 4;
+        int32_t HH[4], tt[4];
+        for (int l = 0; l < 4; ++l) HH[l] = max_H, tt[l] = max_t;
+        int t = st0;
+        int en1_16 = st0 + (en1 - st0) / 16 * 16;
+        if (en1_16 - st0 >= 16) {
+          __m512i vmax = _mm512_set1_epi32(max_H);
+          __m512i vidx = _mm512_set1_epi32(en0);
+          const __m512i vqe32 = _mm512_set1_epi32(qe);
+          const __m512i lane_iota = _mm512_setr_epi32(
+              0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15);
+          for (; t < en1_16; t += 16) {
+            __m128i v8 = _mm_loadu_si128((const __m128i*)(v.data() + t));
+            __m512i Hv = _mm512_sub_epi32(
+                _mm512_add_epi32(
+                    _mm512_loadu_si512((const void*)(H.data() + t)),
+                    _mm512_cvtepu8_epi32(v8)),
+                vqe32);
+            _mm512_storeu_si512((void*)(H.data() + t), Hv);
+            __mmask16 kk = _mm512_cmpgt_epi32_mask(Hv, vmax);
+            vmax = _mm512_mask_mov_epi32(vmax, kk, Hv);
+            vidx = _mm512_mask_mov_epi32(
+                vidx, kk, _mm512_add_epi32(lane_iota, _mm512_set1_epi32(t)));
+          }
+          int32_t lm[16], li[16];
+          _mm512_storeu_si512((void*)lm, vmax);
+          _mm512_storeu_si512((void*)li, vidx);
+          for (int l = 0; l < 4; ++l)
+            for (int j = l; j < 16; j += 4)
+              if (lm[j] > HH[l] || (lm[j] == HH[l] && li[j] < tt[l]))
+                HH[l] = lm[j], tt[l] = li[j];
+        }
+        for (; t < en1; t += 4)
+          for (int l = 0; l < 4; ++l) {
+            H[t + l] += (int32_t)v[t + l] - qe;
+            if (H[t + l] > HH[l]) HH[l] = H[t + l], tt[l] = t + l;
+          }
+        for (int l = 0; l < 4; ++l)
+          if (HH[l] > max_H) max_H = HH[l], max_t = tt[l];
+        for (; t < en0; ++t) {
+          H[t] += (int32_t)v[t] - qe;
+          if (H[t] > max_H) max_H = H[t], max_t = t;
+        }
+      } else {
+        H[0] = (int32_t)v[0] - qe - qe;
+        max_H = H[0];
+        max_t = 0;
+      }
+      if (en0 == tlen - 1 && H[en0] > ez->mte) ez->mte = H[en0], ez->mte_q = r - en;
+      if (r - st0 == qlen - 1 && H[st0] > ez->mqe) ez->mqe = H[st0], ez->mqe_t = st0;
+      if (apply_zdrop(ez, max_H, r, max_t, zdrop, e)) break;
+      if (r == qlen + tlen - 2 && en0 == tlen - 1) ez->score = H[tlen - 1];
+    } else {
+      if (r > 0) {
+        if (last_H0_t >= st0 && last_H0_t <= en0 && last_H0_t + 1 >= st0 &&
+            last_H0_t + 1 <= en0) {
+          int32_t d0 = (int32_t)v[last_H0_t] - qe;
+          int32_t d1 = (int32_t)u[last_H0_t + 1] - qe;
+          if (d0 > d1)
+            H0 += d0;
+          else
+            H0 += d1, ++last_H0_t;
+        } else if (last_H0_t >= st0 && last_H0_t <= en0) {
+          H0 += (int32_t)v[last_H0_t] - qe;
+        } else {
+          ++last_H0_t;
+          H0 += (int32_t)u[last_H0_t] - qe;
+        }
+        if ((flag & WM_EZ_APPROX_DROP) &&
+            apply_zdrop(ez, H0, r, last_H0_t, zdrop, e))
+          break;
+      } else {
+        H0 = (int32_t)v[0] - qe - qe;
+        last_H0_t = 0;
+      }
+      if (r == qlen + tlen - 2 && en0 == tlen - 1) ez->score = H0;
+    }
+    last_st = st, last_en = en;
+  }
+
+  if (with_cigar) {
+    CigarBuf cb;
+    int rev_cigar = !!(flag & WM_EZ_REV_CIGAR);
+    if (!ez->zdropped && !(flag & WM_EZ_EXTZ_ONLY)) {
+      traceback(p.data(), off.data(), off_end.data(), n_col, tlen - 1, qlen - 1,
+                rev_cigar, &cb);
+    } else if (!ez->zdropped && (flag & WM_EZ_EXTZ_ONLY) &&
+               ez->mqe + end_bonus > (int32_t)ez->max) {
+      ez->reach_end = 1;
+      traceback(p.data(), off.data(), off_end.data(), n_col, ez->mqe_t,
+                qlen - 1, rev_cigar, &cb);
+    } else if (ez->max_t >= 0 && ez->max_q >= 0) {
+      traceback(p.data(), off.data(), off_end.data(), n_col, ez->max_t,
+                ez->max_q, rev_cigar, &cb);
+    }
+    finish_cigar(cb, ez);
+  }
+}
+
 // 64-lane AVX-512BW core for the spliced kernel (reference
 // ksw2_exts2_sse.c semantics as encoded by the scalar wm_exts below):
 // x2 is the intron channel opened against the per-position donor floor and
@@ -1691,6 +1990,32 @@ void wm_exts(int qlen, const uint8_t* query, int tlen, const uint8_t* target,
 // extension scoring.  The striped lane layout changes which (qe, te) wins a
 // tied maximum, so the padding and scan order are reproduced exactly.
 // ---------------------------------------------------------------------------
+// Production host extz: AVX-512BW when available, scalar oracle otherwise.
+void wm_extz_fast(int qlen, const uint8_t* query, int tlen,
+                  const uint8_t* target, int m, const int8_t* mat, int8_t q,
+                  int8_t e, int w, int zdrop, int end_bonus, int flag,
+                  wm_ext_result* ez) {
+#ifdef WM_SIMD_X86
+  static int simd_ok = -1;
+  if (simd_ok < 0) {
+    simd_ok = 0;
+    if (!std::getenv("WM_NO_SIMD")) {
+      __builtin_cpu_init();
+      if (__builtin_cpu_supports("avx512bw") &&
+          __builtin_cpu_supports("avx512vl"))
+        simd_ok = 1;
+    }
+  }
+  if (simd_ok && !(flag & WM_EZ_GENERIC_SC)) {
+    wm_extz_avx512(qlen, query, tlen, target, m, mat, q, e, w, zdrop,
+                   end_bonus, flag, ez);
+    return;
+  }
+#endif
+  wm_extz(qlen, query, tlen, target, m, mat, q, e, w, zdrop, end_bonus, flag,
+          ez);
+}
+
 // Production host exts: AVX-512BW when available (same dispatch rules as
 // wm_extd_fast), scalar oracle otherwise.
 void wm_exts_fast(int qlen, const uint8_t* query, int tlen,
