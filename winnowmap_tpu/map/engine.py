@@ -513,6 +513,14 @@ def map_batch_engine(mi, opt: MapOptions, seqs, qnames,
         if eng.L.wm_eng_start_phase2(eng.h):
             eng._drive_phase()
         results = eng.results()
+        # engine-internal perf accounting -> STATS (ns summed across the
+        # engine's threads; wall share on a 1-core host equals cpu share)
+        perf = np.zeros(8, np.int64)
+        eng.L.wm_eng_perf(eng.h, perf.ctypes.data)
+        STATS["eng_host_dp_s"] += perf[0] / 1e9
+        STATS["eng_host_dp_calls"] += int(perf[1])
+        STATS["eng_chain_s"] += perf[2] / 1e9
+        STATS["eng_chain_calls"] += int(perf[3])
     finally:
         eng.close()
     for i, seq in enumerate(seqs):

@@ -293,6 +293,8 @@ def lib() -> ctypes.CDLL:
         L.wm_eng_step.restype = ctypes.c_int64
         L.wm_eng_live.argtypes = [ctypes.c_void_p]
         L.wm_eng_live.restype = ctypes.c_int
+        L.wm_eng_perf.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        L.wm_eng_perf.restype = None
         L.wm_eng_deliver.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                      ctypes.c_void_p, ctypes.c_void_p,
                                      ctypes.c_void_p, ctypes.c_void_p,

@@ -23,6 +23,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <chrono>
 #include <deque>
 #include <memory>
 #include <mutex>
@@ -1176,6 +1177,11 @@ class Engine {
   int64_t next_id = 0;
   std::vector<std::unique_ptr<ReadState>> reads;
 
+  // perf accounting (ns + calls), summed over all engine threads and read
+  // out by wm_eng_perf for the Python STATS breakdown
+  std::atomic<int64_t> ns_host_dp{0}, n_host_dp{0};
+  std::atomic<int64_t> ns_chain{0}, n_chain_calls{0};
+
   std::mutex mu;
   std::condition_variable cv_settled;
   int n_live = 0, n_blocked = 0;
@@ -1351,6 +1357,16 @@ class Engine {
   }
 
   void run_host(const ExtJob& j, wm_ext_result* ez) {
+    auto t0 = std::chrono::steady_clock::now();
+    run_host_inner(j, ez);
+    ns_host_dp.fetch_add(std::chrono::duration_cast<std::chrono::nanoseconds>(
+                             std::chrono::steady_clock::now() - t0)
+                             .count(),
+                         std::memory_order_relaxed);
+    n_host_dp.fetch_add(1, std::memory_order_relaxed);
+  }
+
+  void run_host_inner(const ExtJob& j, wm_ext_result* ez) {
     const EngOpts& o = opts[j.prof];
     // dummy-drop guard (align.py align_pair; reference --cap-sw-mem)
     if (o.max_sw_mat > 0 && (int64_t)j.qlen * j.tlen > o.max_sw_mat) {
@@ -2174,10 +2190,16 @@ static int64_t chain_dp_route(Engine* eng, int max_dist_x, int min_dist_x,
   }
   uint64_t *u = nullptr, *oax = nullptr, *oay = nullptr;
   int32_t n_u = 0;
+  auto t0 = std::chrono::steady_clock::now();
   int64_t n_v =
       wm_chain_dp(max_dist_x, min_dist_x, max_dist_y, bw, max_skip, max_iter,
                   min_cnt, min_sc, (float)gap_scale, is_cdna, 1, n, axp, ayp,
                   &u, &n_u, &oax, &oay);
+  eng->ns_chain.fetch_add(std::chrono::duration_cast<std::chrono::nanoseconds>(
+                              std::chrono::steady_clock::now() - t0)
+                              .count(),
+                          std::memory_order_relaxed);
+  eng->n_chain_calls.fetch_add(1, std::memory_order_relaxed);
   u_v.assign(u, u + n_u);
   ax_v.assign(oax, oax + n_v);
   ay_v.assign(oay, oay + n_v);
@@ -2511,6 +2533,16 @@ void wm_eng_deliver(void* ev, int64_t n, const int64_t* ids,
 
 void wm_eng_run_host_ids(void* ev, int64_t n, const int64_t* ids) {
   ((weng::Engine*)ev)->run_host_ids(n, ids);
+}
+
+// perf readout: [host_dp_ns, host_dp_calls, chain_ns, chain_calls, 0...]
+void wm_eng_perf(void* ev, int64_t* out8) {
+  auto* e = (weng::Engine*)ev;
+  out8[0] = e->ns_host_dp.load();
+  out8[1] = e->n_host_dp.load();
+  out8[2] = e->ns_chain.load();
+  out8[3] = e->n_chain_calls.load();
+  for (int i = 4; i < 8; ++i) out8[i] = 0;
 }
 
 // ---- chain exchange (device colinear chaining) ---------------------------
