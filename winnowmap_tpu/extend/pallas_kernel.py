@@ -55,14 +55,14 @@ def _interpret() -> bool:
 
 
 def _splice_sites(jnp, sblk, jblk, t_abs, tlen, Wb, noncan, junc_bonus,
-                  spl_for, spl_rev, spl_flank, rev_motifs):
+                  spl_for, spl_rev, spl_flank, rev_motifs, CD, w8):
     """Per-step donor/acceptor site scores from shifted target-block slices
     (reference ksw2_exts2_sse.c:114-166).  sblk holds target[t-16 .. t+Wb+240)
-    as int8 codes (0-masked outside [0, tlen)); jblk the junction-annotation
-    bytes in the same layout, or None.  Returns int8 (TB, Wb) vectors with
-    the reference's exact fill/override/junc-add semantics (int8 wrap on the
-    junc_bonus add included)."""
-    i8 = jnp.int8
+    as CD-lane codes (0-masked outside [0, tlen)); jblk the junction-
+    annotation bytes in the same layout, or None.  Returns CD (TB, Wb)
+    vectors with the reference's exact fill/override/junc-add semantics
+    (int8 wrap on the junc_bonus add emulated via w8)."""
+    cd = CD  # scalar constructor
 
     def sh(k):  # target[t + k] as a static slice of the block
         return sblk[:, 16 + k:16 + k + Wb]
@@ -71,10 +71,10 @@ def _splice_sites(jnp, sblk, jblk, t_abs, tlen, Wb, noncan, junc_bonus,
         return jblk[:, 16 + k:16 + k + Wb]
 
     if not (spl_for or spl_rev):
-        z = jnp.zeros(sh(0).shape, i8)
+        z = jnp.zeros(sh(0).shape, CD)
         return z, z
-    semi = jnp.int8(-(noncan // 2) if spl_flank else 0)
-    fill = jnp.int8(-noncan)
+    semi = cd(-(noncan // 2) if spl_flank else 0)
+    fill = cd(-noncan)
     f = jnp.zeros(sh(0).shape, jnp.bool_)
     if not rev_motifs:
         d_can = ((sh(1) == 2) & (sh(2) == 3)) if spl_for else f
@@ -101,8 +101,9 @@ def _splice_sites(jnp, sblk, jblk, t_abs, tlen, Wb, noncan, junc_bonus,
     d_can2 = d_can2 & d_can
     a_can = a_can & (t_abs >= 2) & (t_abs < tlen)
     a_can2 = a_can2 & a_can
-    donor = jnp.where(d_can2, jnp.int8(0), jnp.where(d_can, semi, fill))
-    acceptor = jnp.where(a_can2, jnp.int8(0), jnp.where(a_can, semi, fill))
+    zero = cd(0)
+    donor = jnp.where(d_can2, zero, jnp.where(d_can, semi, fill))
+    acceptor = jnp.where(a_can2, zero, jnp.where(a_can, semi, fill))
     if jblk is not None:
         jd = jn(1)
         d_j = ((jd & d_bits[0]) != 0) if spl_for else f
@@ -114,16 +115,16 @@ def _splice_sites(jnp, sblk, jblk, t_abs, tlen, Wb, noncan, junc_bonus,
         if spl_rev:
             a_j = a_j | ((ja & a_bits[1]) != 0)
         a_j = a_j & (t_abs >= 0) & (t_abs < tlen)
-        jb = jnp.int8(junc_bonus)
-        donor = jnp.where(d_j, donor + jb, donor)
-        acceptor = jnp.where(a_j, acceptor + jb, acceptor)
+        jb = cd(junc_bonus)
+        donor = jnp.where(d_j, w8(donor + jb), donor)
+        acceptor = jnp.where(a_j, w8(acceptor + jb), acceptor)
     return donor, acceptor
 
 
 def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                        W_MAX, approx_max, right_gaps, with_cigar, approx_drop,
                        sc_mch, sc_mis, sc_n, ROWS=32, splice=None):
-    """Wavefront extd kernel, step-window formulation, native-int8 core.
+    """Wavefront extd kernel, step-window formulation, int16-lane core.
 
     With `splice` set this becomes the exts (spliced) kernel (reference
     ksw_exts2_sse, src/ksw2_exts2_sse.c:26-409): the long-gap pair loses the
@@ -148,12 +149,18 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
 
     The reference SSE kernel computes the whole recurrence in WRAPPING
     int8 lanes (_mm_add_epi8/_mm_sub_epi8/_mm_max_epi8,
-    ksw2_extd2_sse.c:40-58,188-197), so the core here runs natively in
-    int8 vectors -- bit-exact by construction for every scoring profile,
-    and 4x the VPU lane density of the i32 lifting it replaces.  Lane-index
-    masks are built from int16 iota against window-relative bounds (all
-    bounds fit int16: Wb < 13000 by the rank-packing assert).
+    ksw2_extd2_sse.c:40-58,188-197).  Mosaic on this chip lowers only
+    vector<i16>/vector<i32> arithmetic, so state stays int8 in VMEM but
+    the core computes in int16 lanes (2x the VPU density of an i32 lift);
+    for tightly bounded profiles (map-ont class) every intermediate
+    provably fits int8 so the wrap points are identities, while wide-gap
+    profiles (asm5/asm10, splice) reproduce the oracle's int8 wraps with
+    an explicit i8 round-trip (w8).  Lane-index masks are built from int16
+    iota against window-relative bounds (all bounds fit int16: Wb < 13000
+    by the rank-packing assert).
     """
+    import os
+
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -163,6 +170,30 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
     i16 = jnp.int16
     i32 = jnp.int32
     u8 = jnp.uint8
+    # compute dtype for the int8-state recurrence.  Probed on v5e Mosaic:
+    # vector i8/i16 compare+max do NOT lower ("Target does not support this
+    # comparison" / "failed to legalize arith.maxsi"), 16-bit iota is
+    # unsupported, and i1 mask broadcasts relayout only in 32-bit tiling --
+    # so the core computes in i32 lanes (the formulation the chip measured
+    # at 4.7 Gcells/s in round 2).  WM_PALLAS_CD=i16 re-enables the denser
+    # lanes for toolchains that learn to lower them.
+    CD = i16 if os.environ.get("WM_PALLAS_CD") == "i16" else i32
+    cd = CD  # scalar constructor
+    if splice is None:
+        # wrap-elision gate: int8 wraps only matter where an intermediate
+        # can leave [-128, 127]; for these bounds none can (validated by
+        # the fringe-heavy randomized parity suite, tests/test_pallas.py)
+        W8_IDENTITY = (sc_mch <= 4 and -sc_mis <= 8 and q + e <= 8
+                       and q2 + e2 <= 32
+                       and (sc_n is None or -sc_n <= 8))
+    else:
+        W8_IDENTITY = False  # junc_bonus adds wrap by spec
+    if W8_IDENTITY:
+        def w8(a):
+            return a
+    else:
+        def w8(a):
+            return a.astype(i8).astype(CD)
     qe = q + e
     init_xy = np.int8(-(q + e))
     if splice is None:
@@ -294,18 +325,19 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
 
             w = w_ref[:]
             zdrop = zdrop_ref[:]
-            # window-relative int16 lane index: every per-row bound below is
+            # window-relative i32 lane index (16-bit iota/compare do not
+            # lower on this target); every per-row bound below is
             # window-relative and provably inside [0, Wb) (see docstring)
-            lane16 = jax.lax.broadcasted_iota(i16, (TB, Wb), 1)
+            lane_rel = lanes
 
-            # ---- state into int8 values (read scratch once per step) ----
-            u = u_s[:]
-            v = v_s[:]
-            x = x_s[:]
-            y = y_s[:]
-            x2 = x2_s[:]
-            y2 = y2_s[:] if y2_s is not None else None
-            s = s_s[:]
+            # ---- state into CD lanes (read scratch once per step) ----
+            u = u_s[:].astype(CD)
+            v = v_s[:].astype(CD)
+            x = x_s[:].astype(CD)
+            y = y_s[:].astype(CD)
+            x2 = x2_s[:].astype(CD)
+            y2 = y2_s[:].astype(CD) if y2_s is not None else None
+            s = s_s[:].astype(CD)
             H = H_s[:] if not approx_max else None
             acc = acc_s[:]
             accv = {kk: acc[:, ii:ii + 1] for kk, ii in IDX.items()}
@@ -327,15 +359,15 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                 return blk
 
             o_q0 = QOFF - 1 - r0 + base
-            qblk = dyn_blk(qbuf_ref, o_q0 - (ROWS - 1), QR).astype(i8)
+            qblk = dyn_blk(qbuf_ref, o_q0 - (ROWS - 1), QR).astype(CD)
             if splice is None:
                 sfv = dyn_blk(sf_ref, SOFF + base,
-                              Wb + 128)[:, :Wb].astype(i8)
+                              Wb + 128)[:, :Wb].astype(CD)
             else:
                 # one block read covers target[t-2 .. t+3] as static slices
                 # (SOFF >= 32 so SOFF + base - 16 >= 0)
                 sblk = dyn_blk(sf_ref, SOFF + base - 16,
-                               Wb + 256).astype(i8)
+                               Wb + 256).astype(CD)
                 sfv = sblk[:, 16:16 + Wb]
                 jblk = (dyn_blk(junc_ref, SOFF + base - 16,
                                 Wb + 256).astype(i32)
@@ -343,7 +375,7 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                 donor, acceptor = _splice_sites(
                     jnp, sblk, jblk, base + lanes, tlen_ref[:], Wb,
                     noncan, junc_bonus, spl_for, spl_rev, spl_flank,
-                    rev_motifs)
+                    rev_motifs, CD, w8)
 
             if not approx_max:
                 t_abs = base + lanes
@@ -352,15 +384,16 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                     return jnp.sum(jnp.where(t_abs == pos, arr, 0), axis=1,
                                    keepdims=True)
 
-            def lane_val8(arr8, rel16):
-                # int8 value at window-relative lane rel16 (identity -128:
-                # exact even when the stored value is -128 itself)
+            def lane_val8(arr, rel):
+                # state value at window-relative lane rel (i32 masked
+                # max-reduce: Mosaic has no sub-32-bit reductions here)
                 return jnp.max(
-                    jnp.where(lane16 == rel16, arr8, jnp.int8(-128)),
-                    axis=1, keepdims=True).astype(i32)
+                    jnp.where(lane_rel == rel, arr.astype(i32),
+                              jnp.int32(NEG_INF)),
+                    axis=1, keepdims=True)
 
             def rel16(pos32):
-                return pos32.astype(i16)
+                return pos32  # masks stay i32 (no 16-bit compares on target)
 
             for j in range(ROWS):
                 r = r0 + j
@@ -391,68 +424,67 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                 in_prev = jnp.logical_and(st - 1 >= stp, st - 1 <= enp)
                 in_prev = jnp.logical_and(in_prev, r >= 1)
                 use_nat = jnp.logical_and(shift16, in_prev)
-                at_lane0 = lane16 == rel16(st - base)
+                at_lane0 = lane_rel == rel16(st - base)
                 at_st = jnp.logical_and(at_lane0, active)
                 at0 = st == 0
 
                 # ---- u[r]/y[r] boundary cell (t == r inside rounded band)
                 has_r = jnp.logical_and(
                     active, jnp.logical_and(en >= r, r >= st))
-                # r - base can exceed int16 when r is far past the window
-                # top; clamp to the harmless in-window-impossible sentinel
-                rel_r = rel16(jnp.clip(r - base, -1, 32767))
-                onehot_r = jnp.logical_and(has_r, lane16 == rel_r)
+                rel_r = rel16(r - base)
+                onehot_r = jnp.logical_and(has_r, lane_rel == rel_r)
                 ub = ubound(r)
-                ub8 = ub.astype(i8)
-                y = jnp.where(onehot_r, init_xy, y)
+                ub8 = ub.astype(CD)  # all boundary values fit int8
+                y = jnp.where(onehot_r, cd(init_xy), y)
                 if y2 is not None:
-                    y2 = jnp.where(onehot_r, init_xy2, y2)
+                    y2 = jnp.where(onehot_r, cd(init_xy2), y2)
                 u = jnp.where(onehot_r, ub8, u)
 
                 # ---- score row over the covered chunk ----
                 cover_last = st0 + (en0 - st0) // 16 * 16 + 15
                 s_mask = jnp.logical_and(
-                    active, jnp.logical_and(lane16 >= rel16(st0 - base),
-                                            lane16 <= rel16(cover_last
-                                                            - base)))
+                    active, jnp.logical_and(lane_rel >= rel16(st0 - base),
+                                            lane_rel <= rel16(cover_last
+                                                              - base)))
                 sc_n_def = -e if splice is not None else -e2
                 sc = jnp.where(
                     jnp.logical_or(sfv == 4, qv == 4),
-                    jnp.int8(sc_n_def if sc_n is None else sc_n),
-                    jnp.where(sfv == qv, jnp.int8(sc_mch),
-                              jnp.int8(sc_mis)),
+                    cd(sc_n_def if sc_n is None else sc_n),
+                    jnp.where(sfv == qv, cd(sc_mch), cd(sc_mis)),
                 )
                 s = jnp.where(s_mask, sc, s)
 
                 # ---- core recurrence over the rounded band [st, en] ----
                 # native wrapping int8, exactly the SSE kernel's lanes
                 band_mask = jnp.logical_and(
-                    active, jnp.logical_and(lane16 >= rel16(st - base),
-                                            lane16 <= rel16(en - base)))
+                    active, jnp.logical_and(lane_rel >= rel16(st - base),
+                                            lane_rel <= rel16(en - base)))
 
-                lane0 = lane16 == 0
+                lane0 = lane_rel == 0
 
                 def shl1(a, fill):
-                    return jnp.where(lane0, fill, pltpu.roll(a, 1, axis=1))
+                    # static 1-lane shift; tpu.dynamic_rotate is 32-bit-only
+                    # so sub-32-bit lanes must take the jnp.roll lowering
+                    return jnp.where(lane0, fill, jnp.roll(a, 1, axis=1))
 
-                xt1 = shl1(x, init_xy)
-                x2t1 = shl1(x2, init_xy2)
-                vt1 = shl1(v, init_xy)
+                xt1 = shl1(x, cd(init_xy))
+                x2t1 = shl1(x2, cd(init_xy2))
+                vt1 = shl1(v, cd(init_xy))
                 no_nat = jnp.logical_and(at_st, jnp.logical_not(use_nat))
-                xt1 = jnp.where(no_nat, init_xy, xt1)
-                x2t1 = jnp.where(no_nat, init_xy2, x2t1)
-                vt1 = jnp.where(no_nat, init_xy, vt1)
+                xt1 = jnp.where(no_nat, cd(init_xy), xt1)
+                x2t1 = jnp.where(no_nat, cd(init_xy2), x2t1)
+                vt1 = jnp.where(no_nat, cd(init_xy), vt1)
                 vt1 = jnp.where(jnp.logical_and(at_st, at0), ub8, vt1)
 
                 z = s
-                a_ = xt1 + vt1
-                b_ = y + u
-                a2_ = x2t1 + vt1
+                a_ = w8(xt1 + vt1)
+                b_ = w8(y + u)
+                a2_ = w8(x2t1 + vt1)
                 if splice is None:
                     a2c = a2_  # candidate competing for z
-                    b2_ = y2 + u
+                    b2_ = w8(y2 + u)
                 else:
-                    a2c = a2_ + acceptor  # intron close adds acceptor score
+                    a2c = w8(a2_ + acceptor)  # intron close adds acceptor
                     b2_ = None
                 if not with_cigar:
                     z = jnp.maximum(z, a_)
@@ -462,38 +494,38 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                         z = jnp.maximum(z, b2_)
                     d = None
                 elif not right_gaps:
-                    d = jnp.where(a_ > z, jnp.int8(1), jnp.int8(0))
+                    d = jnp.where(a_ > z, cd(1), cd(0))
                     z = jnp.maximum(z, a_)
-                    d = jnp.where(b_ > z, jnp.int8(2), d)
+                    d = jnp.where(b_ > z, cd(2), d)
                     z = jnp.maximum(z, b_)
-                    d = jnp.where(a2c > z, jnp.int8(3), d)
+                    d = jnp.where(a2c > z, cd(3), d)
                     z = jnp.maximum(z, a2c)
                     if b2_ is not None:
-                        d = jnp.where(b2_ > z, jnp.int8(4), d)
+                        d = jnp.where(b2_ > z, cd(4), d)
                         z = jnp.maximum(z, b2_)
                 else:
-                    d = jnp.where(z > a_, jnp.int8(0), jnp.int8(1))
+                    d = jnp.where(z > a_, cd(0), cd(1))
                     z = jnp.maximum(z, a_)
-                    d = jnp.where(z > b_, d, jnp.int8(2))
+                    d = jnp.where(z > b_, d, cd(2))
                     z = jnp.maximum(z, b_)
-                    d = jnp.where(z > a2c, d, jnp.int8(3))
+                    d = jnp.where(z > a2c, d, cd(3))
                     z = jnp.maximum(z, a2c)
                     if b2_ is not None:
-                        d = jnp.where(z > b2_, d, jnp.int8(4))
+                        d = jnp.where(z > b2_, d, cd(4))
                         z = jnp.maximum(z, b2_)
                 if splice is None:
-                    z = jnp.minimum(z, jnp.int8(sc_mch))  # exts has no clamp
-                u_new = z - vt1
-                v_new = z - u
-                zq = z - jnp.int8(q)
-                zq2 = z - jnp.int8(q2)
-                an = a_ - zq
-                bn = b_ - zq
-                a2n = a2_ - zq2
-                zero8 = jnp.int8(0)
+                    z = jnp.minimum(z, cd(sc_mch))  # exts has no clamp
+                u_new = w8(z - vt1)
+                v_new = w8(z - u)
+                zq = w8(z - cd(q))
+                zq2 = w8(z - cd(q2))
+                an = w8(a_ - zq)
+                bn = w8(b_ - zq)
+                a2n = w8(a2_ - zq2)
+                zero8 = cd(0)
                 x2_floor = zero8 if splice is None else donor
                 if splice is None:
-                    b2n = b2_ - zq2
+                    b2n = w8(b2_ - zq2)
                 if not right_gaps:
                     ax_, bx_, a2x_ = an > 0, bn > 0, a2n > x2_floor
                     if splice is None:
@@ -504,18 +536,18 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                     a2x_ = jnp.logical_not(x2_floor > a2n)
                     if splice is None:
                         b2x_ = jnp.logical_not(zero8 > b2n)
-                x_new = jnp.where(ax_, an, zero8) - jnp.int8(qe)
-                y_new = jnp.where(bx_, bn, zero8) - jnp.int8(qe)
-                x2_cost = jnp.int8(q2 + e2) if splice is None else jnp.int8(q2)
-                x2_new = jnp.where(a2x_, a2n, x2_floor) - x2_cost
+                x_new = w8(jnp.where(ax_, an, zero8) - cd(qe))
+                y_new = w8(jnp.where(bx_, bn, zero8) - cd(qe))
+                x2_cost = cd(q2 + e2) if splice is None else cd(q2)
+                x2_new = w8(jnp.where(a2x_, a2n, x2_floor) - x2_cost)
                 if splice is None:
-                    y2_new = jnp.where(b2x_, b2n, zero8) - jnp.int8(q2 + e2)
+                    y2_new = w8(jnp.where(b2x_, b2n, zero8) - cd(q2 + e2))
                 if with_cigar:
-                    d = d | jnp.where(ax_, jnp.int8(0x08), zero8)
-                    d = d | jnp.where(bx_, jnp.int8(0x10), zero8)
-                    d = d | jnp.where(a2x_, jnp.int8(0x20), zero8)
+                    d = d | jnp.where(ax_, cd(0x08), zero8)
+                    d = d | jnp.where(bx_, cd(0x10), zero8)
+                    d = d | jnp.where(a2x_, cd(0x20), zero8)
                     if splice is None:
-                        d = d | jnp.where(b2x_, jnp.int8(0x40), zero8)
+                        d = d | jnp.where(b2x_, cd(0x40), zero8)
 
                 u = jnp.where(band_mask, u_new, u)
                 v = jnp.where(band_mask, v_new, v)
@@ -681,14 +713,14 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                 accv["done"] = done
 
             # ---- write state back (once per step) ----
-            u_s[:] = u
-            v_s[:] = v
-            x_s[:] = x
-            y_s[:] = y
-            x2_s[:] = x2
+            u_s[:] = u.astype(i8)
+            v_s[:] = v.astype(i8)
+            x_s[:] = x.astype(i8)
+            y_s[:] = y.astype(i8)
+            x2_s[:] = x2.astype(i8)
             if y2_s is not None:
-                y2_s[:] = y2
-            s_s[:] = s
+                y2_s[:] = y2.astype(i8)
+            s_s[:] = s.astype(i8)
             if not approx_max:
                 H_s[:] = H
             pad = jnp.zeros((TB, 4), i32)

@@ -91,6 +91,35 @@ def _use_device() -> bool:
     return _BACKEND_OK
 
 
+_BROKEN_KERNELS: set = set()  # kernel-variant keys that failed to lower/run
+
+
+def kernel_broken(key) -> bool:
+    return "*" in _BROKEN_KERNELS or key in _BROKEN_KERNELS
+
+
+def note_kernel_failure(key, exc) -> None:
+    """A device kernel variant failed to compile or run: remember it so its
+    jobs fall back to the host AVX-512 kernels instead of crashing the run
+    (reference behaviour: the mapper has no fatal per-read compute path,
+    src/map.c).  After 2 distinct variant failures the whole device DP path
+    is disabled for the process (the failure is almost certainly systemic,
+    e.g. a Mosaic lowering regression)."""
+    import sys
+
+    first = not _BROKEN_KERNELS
+    _BROKEN_KERNELS.add(key)
+    if len(_BROKEN_KERNELS) >= 2:
+        _BROKEN_KERNELS.add("*")
+    if first:
+        msg = str(exc).splitlines()
+        print(f"[WARNING] device DP kernel {key} failed "
+              f"({type(exc).__name__}: {msg[0] if msg else ''}); "
+              "falling back to host kernels for affected jobs",
+              file=sys.stderr)
+    STATS["kernel_failures"] += 1
+
+
 def _probe_tpu_subprocess() -> bool:
     """Time-bounded out-of-process probe of the non-CPU jax backend."""
     import os
@@ -293,6 +322,21 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
         Wb = ((n_col + 15) // 16 + 3) * 16
         return n * (Lq + Lt) * ((Wb + 127) // 128 * 128)
 
+    def host_run_chunk(chunk):
+        """Fallback: run these units on the host oracle and feed results
+        back into their generators (the kernel-failure degrade path)."""
+        ready = []
+        for t, k, rj, job in chunk:
+            t0 = time.time()
+            ez = align_pair(job[0], *job[1:])
+            STATS["host_s"] += time.time() - t0
+            send = t.deliver(k, ez)
+            if send is not None:
+                ready.append((t, send))
+        for t, send in ready:
+            t.advance(send)
+            enqueue(t)
+
     def dispatch(key, units):
         nonlocal inflight_bytes
         opt = units[0][3][0]
@@ -301,21 +345,30 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
         is_spl = bool(opt.flag & MM_F_SPLICE)
         per_job = call_bytes(key, 1)
         cap = max(MIN_DEV_BATCH, int(MAX_DIRS_BYTES // max(1, per_job)))
+        vkey = ("exts" if is_spl else "extd") + str(key[5:])
         # longest jobs first: same-length jobs share kernel tiles, so whole
         # tiles go dead together and the wavefront's liveness guard skips
         # their remaining anti-diagonals
         units = sorted(units, key=lambda u: -(u[2][0][2] + u[2][1][2]))
         for lo in range(0, len(units), cap):
             chunk = units[lo:lo + cap]
+            if kernel_broken(vkey):
+                host_run_chunk(chunk)
+                continue
             t0 = time.time()
-            call = DevCallPooled(
-                pools, [u[2] for u in chunk], mat, opt.q, opt.e,
-                opt.q2, opt.e2, end_bonus, flag,
-                TB=64 if len(chunk) >= 64 else 32,
-                splice=(opt.noncan, opt.junc_bonus) if is_spl else None,
-                juncs=([u[3][8] if len(u[3]) > 8 else None for u in chunk]
-                       if is_spl else None))
-            call.start_fetch()
+            try:
+                call = DevCallPooled(
+                    pools, [u[2] for u in chunk], mat, opt.q, opt.e,
+                    opt.q2, opt.e2, end_bonus, flag,
+                    TB=64 if len(chunk) >= 64 else 32,
+                    splice=(opt.noncan, opt.junc_bonus) if is_spl else None,
+                    juncs=([u[3][8] if len(u[3]) > 8 else None
+                            for u in chunk] if is_spl else None))
+                call.start_fetch()
+            except Exception as exc:  # lowering/compile failure
+                note_kernel_failure(vkey, exc)
+                host_run_chunk(chunk)
+                continue
             STATS["dispatch_s"] += time.time() - t0
             STATS["dev_calls"] += 1
             STATS["dev_jobs"] += len(chunk)
@@ -401,7 +454,12 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
             call, chunk, nbytes = inflight.popleft()
             inflight_bytes -= nbytes
             t0 = time.time()
-            ezs = call.collect()
+            try:
+                ezs = call.collect()
+            except Exception as exc:  # device died mid-run
+                note_kernel_failure(("collect",), exc)
+                host_run_chunk(chunk)
+                continue
             STATS["dev_s"] += time.time() - t0
             if _CALL_LOG_ON:
                 CALL_LOG.append((call.R, len(chunk), time.time() - t0))
