@@ -165,8 +165,11 @@ def main():
         if n_variants() == before:
             break
     log("measuring steady-state throughput")
+    from winnowmap_tpu.map.batch import STATS
+
     best_rps, n_regs = 0.0, 0
     for _ in range(3):
+        STATS.clear()
         t0 = time.time()
         results = map_batch(mi, mo, [r.seq for r in batch],
                             [r.name for r in batch])
@@ -175,6 +178,9 @@ def main():
         best_rps = max(best_rps, len(batch) / t_map)
         log(f"mapped {len(batch)} reads in {t_map:.2f}s -> "
             f"{len(batch) / t_map:.2f} reads/s ({n_regs} alignments)")
+        log("  STATS " + " ".join(
+            f"{k}={v:.3f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in sorted(STATS.items())))
     rps = best_rps
 
     out = {

@@ -47,6 +47,10 @@ from .utils import dbg
 from .utils.log import phase_log, peakrss, realtime, cputime, warn
 
 
+def _yes_no(s: str) -> bool:
+    return s.lower() in ("yes", "y", "1", "true")
+
+
 def _num(s: str) -> int:
     s = s.strip()
     mult = 1
@@ -143,7 +147,16 @@ def main(argv: list[str] | None = None) -> int:
         elif a == "-H":
             io.flag |= 1
         elif a == "-t":
+            # reference main.c:133: worker-thread count.  Our equivalent of
+            # the kt_for worker pool is the native engine's pthread pool
+            # (wm_engine.cpp spawn()); an explicit -t caps it (and, through
+            # it, host DP/chain parallelism).  The default stays the
+            # engine's own (512 mostly-blocked exchange threads) because
+            # engine threads park on the device job exchange rather than
+            # spinning on a core.
             n_threads = int(take())
+            os.environ.setdefault("WM_ENGINE_THREADS",
+                                  str(max(1, n_threads)))
         elif a == "-f":
             v = take()
             mo.mid_occ_frac = float(v.split(",")[0])
@@ -154,6 +167,14 @@ def main(argv: list[str] | None = None) -> int:
             mo.max_gap_ref = mo.bw = v
         elif a == "-F":
             mo.max_frag_len = _num(take())
+        elif a == "--frag":
+            # reference main.c:244 --frag=yes/no toggles MM_F_FRAG_MODE
+            from .options import MM_F_FRAG_MODE
+
+            if _yes_no(take()):
+                mo.flag |= MM_F_FRAG_MODE
+            else:
+                mo.flag &= ~MM_F_FRAG_MODE
         elif a == "-r":
             mo.bw = _num(take())
         elif a == "-n":
@@ -327,11 +348,21 @@ def main(argv: list[str] | None = None) -> int:
         enable_compile_cache()
     n = 0
     total_bp = sum(s_.length for s_ in mi.seqs)
+    from .options import MM_F_FRAG_MODE, MM_F_SPLICE
+
+    frag_mode = len(queries) > 1 or bool(mo.flag & MM_F_FRAG_MODE)
+    if frag_mode and (mo.flag & MM_F_SPLICE):
+        raise SystemExit("[ERROR] --splice and --frag should not be "
+                         "specified at the same time.")
     if io.batch_size and total_bp > io.batch_size and not is_index_file(target):
         from .map.pipeline import map_file_multipart
 
         n = map_file_multipart(records, io, mo, wset, queries, out=out,
                                batch_bp=io.batch_size, batched=tpu_batch)
+    elif frag_mode:
+        from .map.pipeline import map_file_frag
+
+        n = map_file_frag(mi, mo, queries, out=out, batched=tpu_batch)
     else:
         for qf in queries:
             n += map_file(mi, mo, qf, out=out, batched=tpu_batch)

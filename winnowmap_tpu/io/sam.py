@@ -136,13 +136,54 @@ def _md_tag(qseq, tseq, r) -> str:
     return "".join(out)
 
 
-def write_sam(mi, rec, r, regs, opt_flag: int, rep_len: int,
-              rg_line: str | None = None) -> str:
-    """One single-segment SAM line (reference mm_write_sam3 with n_seg==1)."""
-    qlen = len(rec.seq)
-    out = [rec.name]
+def _get_sam_pri(regs):
+    """(reference get_sam_pri, format.c:355-363)"""
+    for q in regs:
+        if q.sam_pri:
+            return q
+    return None
 
-    flag = 0
+
+def _qname_len(name: str) -> int:
+    """(reference mm_qname_len, bseq.h:31-36: trim a trailing /<digit>)"""
+    n = len(name)
+    if n >= 3 and name[-1].isdigit() and name[-2] == "/":
+        return n - 2
+    return n
+
+
+def qname_same(a: str, b: str) -> bool:
+    """(reference mm_qname_same, bseq.h:38-44)"""
+    return a[:_qname_len(a)] == b[:_qname_len(b)] \
+        and _qname_len(a) == _qname_len(b)
+
+
+def write_sam(mi, rec, r, regs, opt_flag: int, rep_len: int,
+              rg_line: str | None = None, seg_idx: int = 0, n_seg: int = 1,
+              regs_all=None) -> str:
+    """One SAM line (reference mm_write_sam3, format.c:391-556).  For
+    multi-segment fragments pass seg_idx/n_seg and regs_all (the per-
+    segment reg lists) so the paired flags/mate fields are emitted."""
+    qlen = len(rec.seq)
+
+    # primaries of the previous/next segments (format.c:400-413)
+    r_prev = r_next = None
+    if n_seg > 1:
+        next_sid = (seg_idx + 1) % n_seg
+        r_next = _get_sam_pri(regs_all[next_sid])
+        if n_seg > 2:
+            for i in range(1, n_seg):
+                prev_sid = (seg_idx + n_seg - i) % n_seg
+                if regs_all[prev_sid]:
+                    r_prev = _get_sam_pri(regs_all[prev_sid])
+                    break
+        else:
+            r_prev = r_next
+
+    name = rec.name if n_seg <= 1 else rec.name[:_qname_len(rec.name)]
+    out = [name]
+
+    flag = 0x1 if n_seg > 1 else 0x0
     if r is None:
         flag |= 0x4
     else:
@@ -152,12 +193,29 @@ def write_sam(mi, rec, r, regs, opt_flag: int, rep_len: int,
             flag |= 0x100
         elif not r.sam_pri:
             flag |= 0x800
+    if n_seg > 1:
+        if r is not None and r.proper_frag:
+            flag |= 0x2
+        if seg_idx == 0:
+            flag |= 0x40
+        elif seg_idx == n_seg - 1:
+            flag |= 0x80
+        if r_next is None:
+            flag |= 0x8
+        elif r_next.rev:
+            flag |= 0x20
     out.append(f"\t{flag}")
 
     cigar_in_tag = False
+    this_rid, this_pos = -1, -1
     if r is None:
-        out.append("\t*\t0\t0\t*")
+        if r_prev is not None:
+            this_rid, this_pos = r_prev.rid, r_prev.rs
+            out.append(f"\t{mi.seqs[this_rid].name}\t{this_pos + 1}\t0\t*")
+        else:
+            out.append("\t*\t0\t0\t*")
     else:
+        this_rid, this_pos = r.rid, r.rs
         out.append(f"\t{mi.seqs[r.rid].name}\t{r.rs + 1}\t{r.mapq}\t")
         if (opt_flag & MM_F_LONG_CIGAR) and r.p is not None and len(r.p.cigar) > MAX_BAM_CIGAR_OP - 2:
             n_cigar = len(r.p.cigar)
@@ -178,7 +236,32 @@ def write_sam(mi, rec, r, regs, opt_flag: int, rep_len: int,
         else:
             out.append(_cigar_sam(r, qlen, flag, opt_flag))
 
-    out.append("\t*\t0\t0\t")
+    # mate position + TLEN (format.c:465-483)
+    if n_seg > 1:
+        tlen = 0
+        if this_rid >= 0 and r_next is not None:
+            if this_rid == r_next.rid:
+                if r is not None:
+                    this_pos5 = r.re - 1 if r.rev else this_pos
+                    next_pos5 = r_next.re - 1 if r_next.rev else r_next.rs
+                    tlen = next_pos5 - this_pos5
+                out.append("\t=\t")
+            else:
+                out.append(f"\t{mi.seqs[r_next.rid].name}\t")
+            out.append(f"{r_next.rs + 1}\t")
+        elif r_next is not None:  # this_rid < 0
+            out.append(f"\t{mi.seqs[r_next.rid].name}\t{r_next.rs + 1}\t")
+        elif this_rid >= 0:  # r_next is None
+            out.append(f"\t=\t{this_pos + 1}\t")
+        else:
+            out.append("\t*\t0\t")
+        if tlen > 0:
+            tlen += 1
+        elif tlen < 0:
+            tlen -= 1
+        out.append(f"{tlen}\t")
+    else:
+        out.append("\t*\t0\t0\t")
 
     # SEQ + QUAL
     if r is None:
@@ -210,6 +293,8 @@ def write_sam(mi, rec, r, regs, opt_flag: int, rep_len: int,
     rg_id = _rg_id(rg_line)
     if rg_id:
         out.append(f"\tRG:Z:{rg_id}")
+    if n_seg > 2:
+        out.append(f"\tFI:i:{seg_idx}")
     if r is not None:
         write_tags(out, r)
         if r.parent == r.id and r.p is not None and len(regs) > 1:

@@ -23,12 +23,19 @@ from .align import JobSeq, align_pair
 from .frag import (MapResult, McasState, _map_vanilla_gen, make_qseq0,
                    mcas_stage2_gen)
 
+import os as _os
+
 # jobs whose padded DP exceeds this per-side length run on the host instead
 MAX_DEV_LEN = 32768
 # minimum bucket size worth a device round-trip (latency ~27 ms); merged
-# stall-time groups use the lower bound (they'd otherwise run on the host)
-MIN_DEV_BATCH = 64
-MIN_MERGED_BATCH = 8
+# stall-time groups use the lower bound (they'd otherwise run on the host).
+# Env-tunable for per-host calibration: the tunnel-attached bench host is
+# latency-bound (fewer, larger calls win), a locally-attached chip less so.
+MIN_DEV_BATCH = int(_os.environ.get("WM_MIN_DEV_BATCH", "64"))
+MIN_MERGED_BATCH = int(_os.environ.get("WM_MIN_MERGED_BATCH", "8"))
+# dispatch full buckets only while fewer than this many calls are in
+# flight: deeper queues add round trips without adding overlap
+MAX_INFLIGHT_CALLS = int(_os.environ.get("WM_MAX_INFLIGHT_CALLS", "1000000"))
 # cap the direction-tensor footprint of one device call
 MAX_DIRS_BYTES = 2 << 30
 
@@ -499,6 +506,44 @@ def _build_pools(mi, seqs):
         o += 2 * L
     pools = PoolContext(qpool, mi.codes) if _use_device() else None
     return pools, qseq0s
+
+
+def map_batch_frags(mi, opt, frags, qnames) -> list[list[MapResult]]:
+    """Map a batch of fragments (frag/paired-end mode), TPU-batched.
+    `frags` is a list of fragments, each a list of segment sequences;
+    returns per-fragment lists of per-segment MapResults (reference
+    worker_for with n_seg > 1, src/map.c:1008-1048).  Uni-segment
+    fragments take the standard read path (MCAS included)."""
+    from .frag import map_frag_gen
+
+    results: list[list[MapResult] | None] = [None] * len(frags)
+    singles_i, singles = [], []
+    multi = []  # (idx, seqs)
+    for i, fr in enumerate(frags):
+        if len(fr) == 1:
+            singles_i.append(i)
+            singles.append(fr[0])
+        else:
+            multi.append((i, fr))
+    if singles:
+        for i, res in zip(singles_i,
+                          map_batch(mi, opt, singles,
+                                    [qnames[i] for i in singles_i])):
+            results[i] = [res]
+    if multi:
+        flat = [s for _, fr in multi for s in fr]
+        pools, qseq0s = _build_pools(mi, flat)
+        tasks = []
+        k = 0
+        for i, fr in multi:
+            q0 = qseq0s[k:k + len(fr)]
+            k += len(fr)
+            tasks.append((i, _Task(map_frag_gen(mi, opt, fr, qnames[i],
+                                                qseq0s=q0))))
+        run_ext_tasks([t for _, t in tasks], pools)
+        for i, t in tasks:
+            results[i] = t.value
+    return results
 
 
 def map_batch(mi, opt, seqs, qnames) -> list[MapResult]:

@@ -31,8 +31,8 @@ from ..options import (
     stage1_options,
     stage2_options,
 )
-from .batch import (MIN_DEV_BATCH, MIN_MERGED_BATCH, STATS, kernel_broken,
-                    note_kernel_failure)
+from .batch import (MAX_INFLIGHT_CALLS, MIN_DEV_BATCH, MIN_MERGED_BATCH,
+                    STATS, kernel_broken, note_kernel_failure)
 from .frag import MapResult, _x31_hash
 from .hit import Extra, Reg
 
@@ -330,6 +330,8 @@ class MapEngine:
         def dispatch_full():
             did = False
             for key in sorted(pending, key=lambda k: -len(pending[k])):
+                if len(inflight) >= MAX_INFLIGHT_CALLS:
+                    break  # deeper queues add round trips, not overlap
                 if len(pending[key]) >= MIN_DEV_BATCH:
                     rows = np.stack(pending.pop(key))
                     inflight.extend(self._dispatch(key[0], key[1], key[2],

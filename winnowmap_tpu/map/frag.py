@@ -77,13 +77,20 @@ def _chain_gaps(opt, is_sr, qlen_sum):
     return max_chain_gap_qry, max_chain_gap_ref, min_chain_gap_ref
 
 
-def chain_post(opt, max_chain_gap_ref, mi, qlen, n_segs, regs, ax, ay):
+def chain_post(opt, max_chain_gap_ref, mi, qlen, n_segs, regs, ax, ay,
+               qlens=None):
     """(reference chain_post, map.c:256-265)"""
     if not (opt.flag & MM_F_ALL_CHAINS):
         set_parent(opt.mask_level, opt.mask_len, regs, opt.a * 2 + opt.b,
                    opt.flag & MM_F_HARD_MLEVEL, opt.alt_drop)
         if n_segs <= 1:
             regs = select_sub(opt.pri_ratio, mi.k * 2, opt.best_n, regs)
+        else:
+            from .pe import select_sub_multi
+
+            regs = select_sub_multi(opt.pri_ratio, 0.2, 0.7,
+                                    max_chain_gap_ref, mi.k * 2, opt.best_n,
+                                    n_segs, qlens, regs)
         if not (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_NO_LJOIN)):
             regs = hitmod.join_long(opt, qlen, regs, ax, ay)
     return regs
@@ -200,6 +207,71 @@ def _map_vanilla_gen(mi, opt, seq, qname, qseq0=None):
         mi, opt, qlen, seq, qname, hash_, run_est_err=False, qseq0=qseq0
     )
     return MapResult(regs, rep_len, frag_gap)
+
+
+def map_frag_pair(mi, opt: MapOptions, seqs: list[bytes],
+                  qname: str | None) -> list[MapResult]:
+    """Sequential wrapper over map_frag_gen (host kernels)."""
+    return drive_ext_gen(map_frag_gen(mi, opt, seqs, qname), opt)
+
+
+def map_frag_gen(mi, opt: MapOptions, seqs: list[bytes], qname: str | None,
+                 qseq0s=None):
+    """Multi-segment fragment mapping (reference mm_map_frag for
+    n_segs > 1: the vanilla seeding/chaining over concatenated segment
+    coordinates map.c:849-954, per-segment chain split mm_seg_gen
+    hit.c:373-435, per-segment alignment map.c:602-613, and mm_pair
+    pe.c:76 when two CIGAR'd segments remain).  The stock reference binary
+    asserts n_segs == 1 (map.c:291-292); parity is against an oracle with
+    only that assert generalized.  MCAS never applies here: the reference
+    samples substrings of seqs[0] only, gated to uni-segment reads."""
+    from ..options import MM_MAX_SEG
+    from . import pe as pemod
+
+    n_segs = len(seqs)
+    qlens = [len(s) for s in seqs]
+    qlen_sum = sum(qlens)
+    empty = [MapResult([], 0, 0) for _ in range(n_segs)]
+    if qlen_sum == 0 or n_segs <= 0 or n_segs > MM_MAX_SEG:
+        return empty
+    if opt.max_qlen > 0 and qlen_sum > opt.max_qlen:
+        return empty
+    is_sr = bool(opt.flag & MM_F_SR)
+    is_splice = bool(opt.flag & MM_F_SPLICE)
+    hash_ = _frag_hash(qname, qlen_sum, opt.seed)
+
+    mvx, mvy = collect_minimizers(opt, mi, qlens, seqs)
+    sh = collect_seed_hits(opt, opt.mid_occ, mi, qname, mvx, mvy, qlen_sum)
+    max_gap_qry, max_gap_ref, min_gap_ref = _chain_gaps(opt, is_sr, qlen_sum)
+    from ..chain import chain_dp_auto
+
+    u, ax, ay = chain_dp_auto(
+        sh.ax, sh.ay,
+        max_dist_x=max_gap_ref, min_dist_x=min_gap_ref,
+        max_dist_y=max_gap_qry, bw=opt.bw, max_skip=opt.max_chain_skip,
+        max_iter=opt.max_chain_iter, min_cnt=opt.min_cnt,
+        min_sc=opt.min_chain_score, gap_scale=opt.chain_gap_scale,
+        is_cdna=int(is_splice), n_segs=n_segs,
+    )
+    rep_len, frag_gap = sh.rep_len, max_gap_ref
+    regs0 = hitmod.gen_regs(hash_, qlen_sum, u, ax, ay)
+    regs0 = chain_post(opt, max_gap_ref, mi, qlen_sum, n_segs, regs0, ax,
+                       ay, qlens=qlens)
+    segs = hitmod.seg_gen(hash_, qlens, regs0, ax, ay)
+    all_regs = []
+    for s in range(n_segs):
+        regs_s, ax_s, ay_s = segs[s]
+        set_parent(opt.mask_level, opt.mask_len, regs_s, opt.a * 2 + opt.b,
+                   opt.flag & MM_F_HARD_MLEVEL, opt.alt_drop)
+        regs_s = yield from align_regs_gen(
+            opt, mi, qlens[s], seqs[s], regs_s, ax_s, ay_s,
+            qseq0=qseq0s[s] if qseq0s is not None else None)
+        set_mapq(regs_s, opt.min_chain_score, opt.a, rep_len, is_sr)
+        all_regs.append(regs_s)
+    if n_segs == 2 and opt.pe_ori >= 0 and (opt.flag & MM_F_CIGAR):
+        pemod.pair(max_gap_ref, opt.pe_bonus, opt.a * 2 + opt.b, opt.a,
+                   qlens, all_regs)
+    return [MapResult(regs, rep_len, frag_gap) for regs in all_regs]
 
 
 def _stage2_chain(mi, opt3, qlen, seq, qname, ax_in, ay_in, rep_len,

@@ -60,6 +60,7 @@ class Reg:
     split_inv: bool = False
     sam_pri: bool = False
     proper_frag: bool = False
+    pe_thru: bool = False
     seg_split: bool = False
     seg_id: int = 0
     n_segs: int = 1
@@ -154,6 +155,54 @@ def gen_regs(hash_: int, qlen: int, u: np.ndarray, ax, ay) -> list[Reg]:
         reg_set_coor(r, qlen, ax, ay)
         regs.append(r)
     return regs
+
+
+def seg_gen(hash_: int, qlens: list[int], regs0: list[Reg], ax, ay):
+    """Split a fragment's chains into per-segment chains (reference
+    mm_seg_gen, hit.c:373-435).  Anchors carry their segment id in y bits
+    48-55 (mmpriv.h MM_SEED_SEG_SHIFT); each segment's anchor positions are
+    rebased from concatenated-fragment coordinates to segment-local ones.
+    Returns per segment: (regs, ax, ay)."""
+    from ..options import MM_SEED_SEG_SHIFT
+
+    n_segs = len(qlens)
+    acc = [0]
+    for q in qlens[:-1]:
+        acc.append(acc[-1] + q)
+    qlen_sum = acc[-1] + qlens[-1]
+
+    sid_of = ((ay >> U64(MM_SEED_SEG_SHIFT)) & U64(0xFF)).astype(np.int64)
+    out = []
+    for s in range(n_segs):
+        u_s = []
+        idx_s = []
+        for r in regs0:
+            sl = slice(r.as_, r.as_ + r.cnt)
+            mine = np.flatnonzero(sid_of[sl] == s) + r.as_
+            if len(mine):  # squeeze out zero-length per-segment chains
+                u_s.append((r.score << 32) | len(mine))
+                idx_s.append(mine)
+        if idx_s:
+            take = np.concatenate(idx_s)
+            ax_s = ax[take]
+            ay_s = ay[take].copy()
+            # rebase positions: reverse-strand anchors measure from the
+            # concatenated fragment's 3' end (see hit.c:407-414 derivation)
+            rev = (ax_s >> U64(63)).astype(bool)
+            shift_f = U64(acc[s])
+            shift_r = U64(qlen_sum - (qlens[s] + acc[s]))
+            ay_s = np.where(rev, ay_s - shift_r, ay_s - shift_f)
+        else:
+            ax_s = np.zeros(0, np.uint64)
+            ay_s = np.zeros(0, np.uint64)
+        regs_s = gen_regs(hash_, qlens[s], np.array(u_s, np.uint64),
+                          ax_s, ay_s)
+        for r in regs_s:
+            r.seg_split = True
+            r.seg_id = s
+            r.n_segs = n_segs
+        out.append((regs_s, ax_s, ay_s))
+    return out
 
 
 def split_reg(r: Reg, n: int, qlen: int, ax, ay) -> Reg | None:

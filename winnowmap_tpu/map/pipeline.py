@@ -89,6 +89,194 @@ def _write_read(mi, opt, rec, res, out) -> None:
         out.write(line + "\n")
 
 
+CHECK_PAIR_THRES = 1_000_000  # reference bseq.c:30
+
+
+def _read_frag_batches(paths, mini_batch_bp):
+    """Yield frag-mode read batches: multiple files are read in lockstep
+    and interleaved (reference mm_bseq_read_frag2, bseq.c:131-158); with
+    one file, a fragment's reads are kept in one batch by carrying the
+    trailing same-stem group over the batch boundary (the reference reads
+    ahead while names match, bseq.c:95-111)."""
+    from ..io.sam import qname_same
+
+    if len(paths) > 1:
+        readers = [FastxReader(p) for p in paths]
+        try:
+            pend = [[] for _ in paths]
+            while True:
+                batch = []
+                size = 0
+                while size < mini_batch_bp:
+                    for i, rd in enumerate(readers):
+                        if not pend[i]:
+                            nb = rd.read_batch(mini_batch_bp)
+                            pend[i] = list(nb) if nb else []
+                    if not all(pend):
+                        if any(pend):
+                            import sys as _s
+
+                            print("[WARNING] query files have different "
+                                  "number of records; extra records "
+                                  "skipped.", file=_s.stderr)
+                        if batch:
+                            yield batch
+                        return
+                    for i in range(len(readers)):
+                        rec = pend[i].pop(0)
+                        batch.append(rec)
+                        size += len(rec.seq)
+                yield batch
+        finally:
+            for rd in readers:
+                rd.close()
+    else:
+        with FastxReader(paths[0]) as rd:
+            carry = []
+            while True:
+                nb = rd.read_batch(mini_batch_bp)
+                if nb is None:
+                    if carry:
+                        yield carry
+                    return
+                batch = carry + list(nb)
+                carry = []
+                # hold back the trailing same-stem group so a fragment
+                # never splits across batches
+                if batch and len(batch[-1].seq) < CHECK_PAIR_THRES:
+                    j = len(batch) - 1
+                    while j > 0 and qname_same(batch[j - 1].name,
+                                               batch[j].name):
+                        j -= 1
+                    if j > 0:
+                        carry = batch[j:]
+                        batch = batch[:j]
+                if batch:
+                    yield batch
+
+
+def _group_frags(batch, frag_mode: bool):
+    """Group adjacent same-stem reads into fragments (reference
+    map.c:1150-1160)."""
+    from ..io.sam import qname_same
+
+    frags = []
+    j = 0
+    for i in range(1, len(batch) + 1):
+        if (i == len(batch) or not frag_mode
+                or not qname_same(batch[i - 1].name, batch[i].name)):
+            frags.append(batch[j:i])
+            j = i
+    return frags
+
+
+def _revcomp_rec(rec):
+    from ..io.seqcode import revcomp_bytes
+
+    rec.seq = revcomp_bytes(rec.seq)
+    if rec.qual:
+        rec.qual = rec.qual[::-1]
+
+
+def _write_frag(mi, opt, recs, reses, out) -> None:
+    """Emit one fragment's segments (reference pipeline step 2,
+    map.c:1186-1208: per-segment records with paired SAM context)."""
+    n_seg = len(recs)
+    if n_seg == 1:
+        _write_read(mi, opt, recs[0], reses[0], out)
+        return
+    regs_all = [res.regs for res in reses]
+    for i, (rec, res) in enumerate(zip(recs, reses)):
+        regs = res.regs
+        if regs:
+            for r in regs:
+                assert not r.sam_pri or r.id == r.parent
+                if (opt.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
+                    continue
+                if opt.flag & MM_F_OUT_SAM:
+                    line = sammod.write_sam(
+                        mi, rec, r, regs, opt.flag, res.rep_len,
+                        seg_idx=i, n_seg=n_seg, regs_all=regs_all)
+                else:
+                    line = pafmod.write_paf(
+                        mi, rec.name, len(rec.seq), r, opt.flag,
+                        res.rep_len, rec.comment,
+                        bool(opt.flag & MM_F_COPY_COMMENT), rec=rec)
+                out.write(line + "\n")
+        elif (opt.flag & MM_F_PAF_NO_HIT) or (
+            (opt.flag & MM_F_OUT_SAM)
+            and not (opt.flag & MM_F_SAM_HIT_ONLY)
+        ):
+            if opt.flag & MM_F_OUT_SAM:
+                line = sammod.write_sam(
+                    mi, rec, None, regs, opt.flag, res.rep_len,
+                    seg_idx=i, n_seg=n_seg, regs_all=regs_all)
+            else:
+                line = pafmod.write_paf(
+                    mi, rec.name, len(rec.seq), None, opt.flag,
+                    res.rep_len, rec.comment,
+                    bool(opt.flag & MM_F_COPY_COMMENT))
+            out.write(line + "\n")
+
+
+def map_file_frag(mi, opt: MapOptions, paths, out=sys.stdout,
+                  batched=False) -> int:
+    """Fragment/paired-end mapping driver (reference mm_map_file_frag,
+    src/map.c:1244-1276).  Adjacent same-stem reads form one fragment;
+    with pe_ori the inner-facing segments are reverse-complemented before
+    mapping and flipped back afterwards (worker_for, map.c:1009-1048).
+    NOTE: no longest-first reshuffle here — the reference's reshuffle
+    (map.c:1127-1143) would separate pair mates before the adjacency
+    grouping; the parity oracle disables it in frag mode (tests/tools/
+    NOTES)."""
+    from .frag import map_frag_pair, map_one
+
+    pe_ori = opt.pe_ori
+    n_processed = 0
+    for batch in _read_frag_batches(paths, opt.mini_batch_size):
+        for i, rec in enumerate(batch):
+            rec.rid = n_processed + i
+        frags = _group_frags(batch, True)
+        # pe_ori orientation normalization (reference map.c:1035-1048)
+        for fr in frags:
+            if len(fr) == 2:
+                if pe_ori >> 1 & 1:
+                    _revcomp_rec(fr[0])
+                if pe_ori & 1:
+                    _revcomp_rec(fr[1])
+        if batched:
+            from .batch import map_batch_frags
+
+            reses = map_batch_frags(mi, opt, [[r.seq for r in fr]
+                                              for fr in frags],
+                                    [fr[0].name for fr in frags])
+        else:
+            reses = []
+            for fr in frags:
+                if len(fr) == 1:
+                    reses.append([map_one(mi, opt, fr[0].seq, fr[0].name)])
+                else:
+                    reses.append(map_frag_pair(mi, opt,
+                                               [r.seq for r in fr],
+                                               fr[0].name))
+        # flip coordinates back to the original strand (map.c:1040-1048)
+        for fr, res in zip(frags, reses):
+            if len(fr) == 2:
+                for j in (0, 1):
+                    if (j == 0 and pe_ori >> 1 & 1) or (j == 1
+                                                        and pe_ori & 1):
+                        _revcomp_rec(fr[j])
+                        qlen = len(fr[j].seq)
+                        for r in res[j].regs:
+                            r.qs, r.qe = qlen - r.qe, qlen - r.qs
+                            r.rev = not r.rev
+        for fr, res in zip(frags, reses):
+            _write_frag(mi, opt, fr, res, out)
+        n_processed += len(batch)
+        phase_log("map_file", f"mapped {len(batch)} sequences")
+    return n_processed
+
+
 def split_parts_by_bp(all_records, batch_bp: int):
     """Split the reference into parts of ~batch_bp bases (reference
     mm_idx_reader_read accumulates until sum_len > batch_size,
