@@ -126,7 +126,27 @@ def main():
         log(f"kernel bench failed: {e}")
         gcells = None
 
-    from winnowmap_tpu.index.build import build_index, load_weight_set
+    # k-mer counting throughput (meryl-equivalent; reference README.md:44
+    # cites "2-3 minutes" for a human genome).  count_kmers auto-selects
+    # the device counter when the chip is reachable.
+    try:
+        from winnowmap_tpu.io.fastx import read_all as _read_all
+        from winnowmap_tpu.kcount import count_kmers as _count
+
+        _recs = _read_all(str(ref))
+        _bp = sum(len(r.seq) for r in _recs)
+        _count(_recs, 15)  # warm (device compile)
+        t0 = time.time()
+        _kc = _count(_recs, 15)
+        _dt = time.time() - t0
+        log(f"kcount: {_bp / 1e6:.1f} Mbp in {_dt:.2f}s -> "
+            f"{_bp / 1e6 / _dt:.1f} Mbp/s ({len(_kc.kmers)} distinct k-mers,"
+            f" device={'yes' if chip else 'no'})")
+    except Exception as e:  # diagnostic only
+        log(f"kcount bench failed: {e}")
+
+    from winnowmap_tpu.index.build import (build_index, load_weight_bloom,
+                                           load_weight_set)
     from winnowmap_tpu.io.fastx import read_all
     from winnowmap_tpu.map.batch import map_batch
     from winnowmap_tpu.options import IndexOptions, MapOptions, MM_F_CIGAR, MM_F_OUT_SAM, update_mid_occ
@@ -137,10 +157,14 @@ def main():
     t0 = time.time()
     wset = load_weight_set(str(rep), io.k)
     records = read_all(str(ref))
-    mi = build_index(records, io.w, io.k, io.flag, wset)
+    # strict-parity configuration (VERDICT r3 weak #7): the bench measures
+    # the --bloom-filter mode whose SAM output is byte-identical to the
+    # reference binary (BASELINE's gate), not the exact-set default
+    bloom = load_weight_bloom(str(rep), io.k)
+    mi = build_index(records, io.w, io.k, io.flag, wset, weight_bloom=bloom)
     update_mid_occ(mo, mi)
     t_index = time.time() - t0
-    log(f"index build: {t_index:.2f}s")
+    log(f"index build: {t_index:.2f}s (strict bloom-parity mode)")
 
     all_reads = read_all(str(reads))
     batch = all_reads[:N_BENCH_READS]

@@ -96,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
     idx_dump = None
     tpu_batch = False
     junc_bed = None
+    split_prefix = None
     n_threads = 3
     i = 0
 
@@ -167,6 +168,12 @@ def main(argv: list[str] | None = None) -> int:
             mo.max_gap_ref = mo.bw = v
         elif a == "-F":
             mo.max_frag_len = _num(take())
+        elif a == "--split-prefix":
+            # reference main.c --split-prefix + splitidx.c: per-index-part
+            # intermediate hit files under this prefix, merged at the end.
+            # Our -I multipart path always rank-merges (map/pipeline.py);
+            # the prefix names where the spill files live.
+            split_prefix = take()
         elif a == "--frag":
             # reference main.c:244 --frag=yes/no toggles MM_F_FRAG_MODE
             from .options import MM_F_FRAG_MODE
@@ -311,8 +318,17 @@ def main(argv: list[str] | None = None) -> int:
     target = pos[0]
     queries = pos[1:]
     from .index.io import dump_index, is_index_file, load_index
+    from .index.mmi import is_mmi_file, load_mmi
 
-    if is_index_file(target):
+    if is_mmi_file(target):
+        # reference prebuilt index (MMI\2, src/index.c:556-608): it stores
+        # no weight set, so query sketching runs unweighted — exactly the
+        # reference's behaviour with loaded indexes (mm_idx_load never
+        # restores downFilter)
+        mi = load_mmi(target)
+        if w_file:
+            warn("prebuilt MMI index: -W list ignored (reference behaviour)")
+    elif is_index_file(target):
         mi = load_index(target)
         if w_file and len(wset) and len(mi.wset) != len(wset):
             warn("prebuilt index: -W list ignored (stored set used)")
@@ -328,7 +344,14 @@ def main(argv: list[str] | None = None) -> int:
 
         read_bed(mi, junc_bed, read_junc=True)
     if idx_dump:
-        dump_index(mi, idx_dump)
+        if idx_dump.endswith(".mmi"):
+            # reference-format dump so the stock winnowmap can load it
+            # (reference mm_idx_dump, src/index.c:515-554)
+            from .index.mmi import dump_mmi
+
+            dump_mmi(mi, idx_dump)
+        else:
+            dump_index(mi, idx_dump)
         phase_log("index", f"index dumped to {idx_dump}")
     if not queries:
         if not idx_dump:
@@ -354,11 +377,19 @@ def main(argv: list[str] | None = None) -> int:
     if frag_mode and (mo.flag & MM_F_SPLICE):
         raise SystemExit("[ERROR] --splice and --frag should not be "
                          "specified at the same time.")
-    if io.batch_size and total_bp > io.batch_size and not is_index_file(target):
+    if (io.batch_size and total_bp > io.batch_size
+            and not is_index_file(target) and not is_mmi_file(target)):
         from .map.pipeline import map_file_multipart
 
+        tdir = None
+        if split_prefix:
+            import pathlib
+
+            tdir = str(pathlib.Path(split_prefix).resolve().parent)
+            os.makedirs(tdir, exist_ok=True)
         n = map_file_multipart(records, io, mo, wset, queries, out=out,
-                               batch_bp=io.batch_size, batched=tpu_batch)
+                               batch_bp=io.batch_size, batched=tpu_batch,
+                               tmp_dir=tdir)
     elif frag_mode:
         from .map.pipeline import map_file_frag
 

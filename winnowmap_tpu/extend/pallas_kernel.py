@@ -1447,9 +1447,9 @@ class DevCall:
         B = quantize_batch(_round_up(B0, TB))
         slot_bytes = _round_up(R, 64) * Wb
         if B * slot_bytes > MAX_CALL_DIRS_BYTES:
-            # big shapes: exact TB-padded batch instead of the quantized
-            # ladder, so padding slots cannot blow the dirs HBM footprint
-            B = _round_up(B0, TB)
+            # clamp to the shape-fixed cap batch (see DevCallPooled note)
+            cap_B = max(TB, MAX_CALL_DIRS_BYTES // slot_bytes // TB * TB)
+            B = min(B, max(cap_B, _round_up(B0, TB)))
 
         mat = np.asarray(mat, np.int8)
         sc_n = int(mat[24]) if mat[24] != 0 else None
@@ -1661,6 +1661,12 @@ class PoolContext:
         return None
 
 
+# fused assembly->DP->traceback->pack chains, keyed by the (cached) DP
+# callable plus the post-processing shape params; each entry is one jax.jit
+# whose trace inlines the individually-tested factory pieces
+_FUSED_CHAIN: dict = {}
+
+
 class DevCallPooled:
     """One in-flight pooled device batch: job windows are gathered from the
     resident pools on device; only 32-byte descriptors go up and packed op
@@ -1681,11 +1687,22 @@ class DevCallPooled:
         if splice is None and q2 + e2 < q + e:
             q, q2 = q2, q
             e, e2 = e2, e
-        B0 = len(jobs)
-        qlen = np.array([j[0][2] for j in jobs], np.int32)
-        tlen = np.array([j[1][2] for j in jobs], np.int32)
-        ws = np.array([j[2] for j in jobs], np.int32)
-        zds = np.array([j[3] for j in jobs], np.int32)
+        # jobs: list of (qdesc, tdesc, w, zdrop) tuples, or an (B0, 8) int
+        # array of (qoff, qlen, qrev, toff, tlen, trev, w, zdrop) columns
+        # (the engine's flat job rows — no per-job Python tuples)
+        if isinstance(jobs, np.ndarray):
+            ja = np.ascontiguousarray(jobs, np.int64).reshape(-1, 8)
+        else:
+            for (qs_sel, _, _, _), (ts_sel, _, _, _), _, _ in jobs:
+                assert qs_sel == 0 and ts_sel == 1
+            ja = np.array([(j[0][1], j[0][2], j[0][3], j[1][1], j[1][2],
+                            j[1][3], j[2], j[3]) for j in jobs],
+                          np.int64).reshape(-1, 8)
+        B0 = len(ja)
+        qlen = ja[:, 1].astype(np.int32)
+        tlen = ja[:, 4].astype(np.int32)
+        ws = ja[:, 6].astype(np.int32)
+        zds = ja[:, 7].astype(np.int32)
         if shape_override is not None:
             Lq, Lt, W_MAX = shape_override
         else:
@@ -1708,9 +1725,13 @@ class DevCallPooled:
         B = quantize_batch(_round_up(B0, TB))
         slot_bytes = _round_up(R, 64) * Wb
         if B * slot_bytes > MAX_CALL_DIRS_BYTES:
-            # big shapes: exact TB-padded batch instead of the quantized
-            # ladder, so padding slots cannot blow the dirs HBM footprint
-            B = _round_up(B0, TB)
+            # big shapes: clamp to the largest TB-multiple batch under the
+            # dirs HBM cap.  The clamp is a pure function of the call SHAPE
+            # (never of B0), so the jit-variant space stays bounded — an
+            # exact-B0 fallback here compiles a fresh run-dependent variant
+            # per dispatch and stalls production for minutes.
+            cap_B = max(TB, MAX_CALL_DIRS_BYTES // slot_bytes // TB * TB)
+            B = min(B, max(cap_B, _round_up(B0, TB)))
 
         mat = np.asarray(mat, np.int8)
         sc_n = int(mat[24]) if mat[24] != 0 else None
@@ -1720,7 +1741,10 @@ class DevCallPooled:
         right_gaps = bool(flag & 0x02)
         self.extz_only = bool(flag & 0x40)
         self.rev_cigar = bool(flag & 0x80)
-        self.end_bonus = end_bonus
+        # end_bonus: scalar or per-job array (it is a traced argument of
+        # the select step, never baked into a kernel variant)
+        self.end_bonus = np.broadcast_to(
+            np.asarray(end_bonus, np.int32), (B0,))
         self.B0 = B0
         self.R = R
         self.R_act = int((qlen + tlen).max()) - 1
@@ -1756,24 +1780,17 @@ class DevCallPooled:
         desc = np.zeros((B, 8), np.int32)
         desc[:, 2] = 1
         desc[:, 5] = 1
-        for i, ((qs_sel, qo, ql, qrev), (ts_sel, to, tl, trev), w_i,
-                zd_i) in enumerate(jobs):
-            assert qs_sel == 0 and ts_sel == 1
-            if not qrev:
-                desc[i, 0], desc[i, 1] = qo + QOFF - 1, -1
-            else:
-                desc[i, 0], desc[i, 1] = qo + ql - QOFF, 1
-            desc[i, 2] = ql
-            if not trev:
-                desc[i, 3], desc[i, 4] = to - SOFF, 1
-            else:
-                desc[i, 3], desc[i, 4] = to + tl - 1 + SOFF, -1
-            desc[i, 5] = tl
-            desc[i, 6] = w_i
-            desc[i, 7] = zd_i
+        qo, ql, qrev = ja[:, 0], ja[:, 1], ja[:, 2] != 0
+        to, tl, trev = ja[:, 3], ja[:, 4], ja[:, 5] != 0
+        desc[:B0, 0] = np.where(qrev, qo + ql - QOFF, qo + QOFF - 1)
+        desc[:B0, 1] = np.where(qrev, 1, -1)
+        desc[:B0, 2] = ql
+        desc[:B0, 3] = np.where(trev, to + tl - 1 + SOFF, to - SOFF)
+        desc[:B0, 4] = np.where(trev, -1, 1)
+        desc[:B0, 5] = tl
+        desc[:B0, 6] = ja[:, 6]
+        desc[:B0, 7] = ja[:, 7]
 
-        qbuf, sfbuf = _compiled_assemble(WQ, WT, QOFF, SOFF)(
-            pools.qpool, pools.ref, desc)
         qlen_a = desc[:, 2:3].copy()
         tlen_a = desc[:, 5:6].copy()
         qlen_a[B0:] = 1
@@ -1786,36 +1803,64 @@ class DevCallPooled:
         zd_a = desc[:, 7:8].copy()
         zd_a[B0:] = -1
 
-        args = [qbuf, sfbuf, qlen_a, tlen_a, w_a, zd_a]
-        if splice is not None and has_junc:
+        # One fused jit dispatch per call: window assembly -> DP kernel ->
+        # start selection -> traceback -> fused output packing, traced as a
+        # single XLA computation (the pieces are the individually-tested
+        # jitted factories, inlined).  Five dispatches/call -> one: on a
+        # tunnel-attached chip per-dispatch host latency dominates the
+        # scheduler's dispatch_s.
+        if splice is not None:
+            sel_mode = "max" if self.extz_only else False
+            self.pack_cols = (R + 1) // 2
+        else:
+            sel_mode = self.extz_only
+            self.pack_cols = (R + 3) // 4  # fixed per shape: one variant
+        is_junc = splice is not None and has_junc
+        brows = 1 if is_extz else extd_rows(Wb)
+        fkey = (run, self.with_cigar, sel_mode, B, TB, R, Wb, Lq, W_MAX,
+                brows, self.min_intron, splice is not None, is_junc)
+        fused = _FUSED_CHAIN.get(fkey)
+        if fused is None:
+            import jax
+
+            asm = _compiled_assemble(WQ, WT, QOFF, SOFF)
+            with_cigar = self.with_cigar
+            is_spl = splice is not None
+            min_intron = self.min_intron
+            pack_cols = self.pack_cols
+
+            def chain(qpool, tpool, dsc, qlen_, tlen_, w_, zd_, eb,
+                      jbuf=None):
+                qbuf, sfbuf = asm(qpool, tpool, dsc)
+                rargs = [qbuf, sfbuf, qlen_, tlen_, w_, zd_]
+                if jbuf is not None:
+                    rargs.append(jbuf)
+                out = run(*rargs)
+                if not with_cigar:
+                    return out[0]
+                i0, j0 = _compiled_select_starts(sel_mode)(out[0], qlen_,
+                                                           tlen_, eb)
+                tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX,
+                                         RD=out[1].shape[0], BROWS=brows,
+                                         min_intron=min_intron)
+                ops, fin = tb(out[1], qlen_, tlen_, i0, j0, w_)
+                return _compiled_fuse_out(pack_cols, is_spl)(out[0], fin,
+                                                             ops)
+
+            fused = _FUSED_CHAIN[fkey] = jax.jit(chain)
+
+        eb = np.zeros((B, 1), np.int32)
+        eb[:B0, 0] = self.end_bonus
+        if is_junc:
             jbuf = np.zeros((B, WT), np.uint8)
             for i, jc in enumerate(juncs):
                 if jc is not None:
                     jbuf[i, SOFF:SOFF + len(jc)] = jc
-            args.append(jbuf)
-        out = run(*args)
-        self.out_dev = out[0]
-        if self.with_cigar:
-            eb = np.int32(end_bonus)
-            if splice is not None:
-                sel_mode = "max" if self.extz_only else False
-            else:
-                sel_mode = self.extz_only
-            i0, j0 = _compiled_select_starts(sel_mode)(
-                out[0], qlen_a, tlen_a, eb)
-            tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX,
-                                     RD=out[1].shape[0],
-                                     BROWS=1 if is_extz else extd_rows(Wb),
-                                     min_intron=self.min_intron)
-            ops, fin = tb(out[1], qlen_a, tlen_a, i0, j0, w_a)
-            if splice is not None:
-                self.pack_cols = (R + 1) // 2
-                self.out_dev = _compiled_fuse_out(self.pack_cols, True)(
-                    out[0], fin, ops)
-            else:
-                self.pack_cols = (R + 3) // 4  # fixed per shape: one variant
-                self.out_dev = _compiled_fuse_out(self.pack_cols)(out[0],
-                                                                  fin, ops)
+            self.out_dev = fused(pools.qpool, pools.ref, desc, qlen_a,
+                                 tlen_a, w_a, zd_a, eb, jbuf)
+        else:
+            self.out_dev = fused(pools.qpool, pools.ref, desc, qlen_a,
+                                 tlen_a, w_a, zd_a, eb)
 
     def start_fetch(self):
         """Begin the async device->host copy of the fused output (one fetch
@@ -1832,37 +1877,48 @@ class DevCallPooled:
         except AttributeError:
             return True
 
-    def collect(self):
+    def collect_blob(self):
+        """Engine fast path: fetch + decode as flat arrays, no per-job
+        result objects.  Returns (res9 (B0,9) int32 in the engine deliver
+        column order, cigar blob uint32 | None, per-job blob offsets int64,
+        lengths int32, reach_end (B0,) int32)."""
         buf = np.asarray(self.out_dev)[:self.B0]
+        blob = off = ln = None
         if self.with_cigar:
             res = np.ascontiguousarray(buf[:, :64]).view(np.int32)
             fin = np.ascontiguousarray(buf[:, 64:96]).view(np.int32)
             from .. import native
+            rev = np.full(self.B0, self.rev_cigar, np.uint8)
             if self.splice is not None:
-                cigars = native.rle_ops_batch4(
+                blob, off, ln = native.rle_ops_blob4(
                     np.ascontiguousarray(buf[:, 96:]), fin[:, 0], fin[:, 1],
-                    np.full(self.B0, self.rev_cigar, np.uint8),
-                    self.min_intron)
+                    rev, self.min_intron)
             else:
-                cigars = native.rle_ops_batch(
+                blob, off, ln = native.rle_ops_blob(
                     np.ascontiguousarray(buf[:, 96:]), fin[:, 0], fin[:, 1],
-                    np.full(self.B0, self.rev_cigar, np.uint8))
+                    rev)
         else:
             res = buf
-        res9 = res[:, :9].tolist()
+        res9 = np.ascontiguousarray(res[:, :9], np.int32)
+        reach = np.zeros(self.B0, np.int32)
+        if self.with_cigar and self.splice is None and self.extz_only:
+            reach = ((res9[:, 1] == 0)
+                     & (res9[:, 4] + self.end_bonus
+                        > res9[:, 0])).astype(np.int32)
+        return res9, blob, off, ln, reach
+
+    def collect(self):
+        res9, blob, off, ln, reach = self.collect_blob()
+        res9l = res9.tolist()
         results = []
         for i in range(self.B0):
             r = DevExtResult()
             (r.max, zdr, r.max_q, r.max_t, r.mqe, r.mqe_t, r.mte, r.mte_q,
-             r.score) = res9[i]
+             r.score) = res9l[i]
             r.zdropped = bool(zdr)
-            r.reach_end = False
-            r.cigar = np.zeros(0, np.uint32)
-            if self.with_cigar:
-                if (self.splice is None and not r.zdropped and self.extz_only
-                        and r.mqe + self.end_bonus > r.max):
-                    r.reach_end = True
-                r.cigar = cigars[i]
+            r.reach_end = bool(reach[i])
+            r.cigar = (np.zeros(0, np.uint32) if blob is None
+                       else blob[off[i]:off[i] + ln[i]].copy())
             results.append(r)
         return results
 

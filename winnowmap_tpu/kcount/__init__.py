@@ -422,7 +422,7 @@ def ploidy_report(kc: KmerCounts):
     return err, out
 
 
-def count_kmers(records, k: int, use_device: bool = False,
+def count_kmers(records, k: int, use_device: bool | None = None,
                 direction: str = "canonical",
                 max_memory_bytes: int | None = None) -> KmerCounts:
     """Count k-mers over sequence records.
@@ -431,7 +431,16 @@ def count_kmers(records, k: int, use_device: bool = False,
     merylOp-countThreads.C:246), 'forward' (opCountForward) or 'reverse'
     (opCountReverse).  max_memory_bytes bounds the transient working set by
     counting in chunks and merging sorted runs (reference out-of-core
-    batching, merylOp-count.C:577-644)."""
+    batching, merylOp-count.C:577-644).
+
+    use_device=None (production default): count on the TPU when a chip is
+    reachable (hang-proof probe) and no explicit memory cap was requested;
+    otherwise the host out-of-core counter.  Both produce byte-identical
+    counted sets (tests/test_kcount.py::test_device_counter_parity)."""
+    if use_device is None:
+        from ..map.batch import _use_device
+
+        use_device = max_memory_bytes is None and _use_device()
     if use_device:
         from .device import count_kmers_device
 

@@ -31,8 +31,8 @@ MAX_DEV_LEN = 32768
 # stall-time groups use the lower bound (they'd otherwise run on the host).
 # Env-tunable for per-host calibration: the tunnel-attached bench host is
 # latency-bound (fewer, larger calls win), a locally-attached chip less so.
-MIN_DEV_BATCH = int(_os.environ.get("WM_MIN_DEV_BATCH", "64"))
-MIN_MERGED_BATCH = int(_os.environ.get("WM_MIN_MERGED_BATCH", "8"))
+MIN_DEV_BATCH = int(_os.environ.get("WM_MIN_DEV_BATCH", "256"))
+MIN_MERGED_BATCH = int(_os.environ.get("WM_MIN_MERGED_BATCH", "16"))
 # dispatch full buckets only while fewer than this many calls are in
 # flight: deeper queues add round trips without adding overlap
 MAX_INFLIGHT_CALLS = int(_os.environ.get("WM_MAX_INFLIGHT_CALLS", "1000000"))
@@ -573,6 +573,12 @@ def map_batch(mi, opt, seqs, qnames) -> list[MapResult]:
 
                     return map_batch_multidev(mi, opt, seqs, qnames,
                                               devices=devs)
+            ways = int(_os.environ.get("WM_ENGINE_SPLIT", "1"))
+            if ways > 1 and _use_device():
+                from .engine import map_batch_engine_pipelined
+
+                return map_batch_engine_pipelined(mi, opt, seqs, qnames,
+                                                  ways=ways)
             return map_batch_engine(mi, opt, seqs, qnames)
     n = len(seqs)
     results: list[MapResult | None] = [None] * n

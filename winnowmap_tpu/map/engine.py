@@ -122,6 +122,16 @@ class MapEngine:
         self._seqs = seqs  # bytes objects must outlive the engine
 
         self.opts3 = [opt, stage1_options(opt), stage2_options(opt)]
+        # profiles with identical DP scoring share kernels and calls: the
+        # stage overrides (reference map.c:300-302,711-717) touch zdrop/bw/
+        # max_gap — per-JOB columns — not the scoring matrix, so all three
+        # profiles normally collapse to one bucket class
+        def _score_key(o):
+            return (o.a, o.b, o.q, o.e, o.q2, o.e2, o.sc_ambi,
+                    bool(o.flag & MM_F_SPLICE), o.noncan, o.junc_bonus)
+
+        skeys = [_score_key(o) for o in self.opts3]
+        self.prof_rep = [skeys.index(k) for k in skeys]
         self.c_opts = [_opts_to_c(o) for o in self.opts3]
         self.c_idx, keep = _index_to_c(mi)
         self._keep += keep
@@ -204,25 +214,25 @@ class MapEngine:
         STATS["chain_dev_jobs"] += len(rows)
         return True
 
-    def _deliver(self, rows: np.ndarray, ezs) -> None:
+    def _deliver(self, rows: np.ndarray, collected) -> None:
+        """Feed one call's results back over the flat deliver boundary.
+        `collected` is DevCallPooled.collect_blob() output: the res columns
+        and the CIGAR blob go to wm_eng_deliver as-is (the native decode
+        already emits the blob+offsets layout the engine consumes)."""
+        res9, blob, off, ln, reach = collected
         n = len(rows)
         ids = np.ascontiguousarray(rows[:, C_ID])
         res = np.zeros((n, 10), np.int32)
-        cigs = []
-        off = np.zeros(n, np.int64)
-        ln = np.zeros(n, np.int32)
-        o = 0
-        for i, ez in enumerate(ezs):
-            res[i] = (ez.max, ez.zdropped, ez.max_q, ez.max_t, ez.mqe,
-                      ez.mqe_t, ez.mte, ez.mte_q, ez.score, ez.reach_end)
-            c = ez.cigar
-            off[i] = o
-            ln[i] = len(c)
-            if len(c):
-                cigs.append(c)
-                o += len(c)
-        blob = np.concatenate(cigs) if cigs else np.zeros(1, np.uint32)
-        blob = np.ascontiguousarray(blob, np.uint32)
+        res[:, :9] = res9
+        res[:, 9] = reach
+        if blob is None:
+            blob = np.zeros(1, np.uint32)
+            off = np.zeros(n, np.int64)
+            ln = np.zeros(n, np.int32)
+        else:
+            blob = np.ascontiguousarray(blob, np.uint32)
+            off = np.ascontiguousarray(off, np.int64)
+            ln = np.ascontiguousarray(ln, np.int32)
         self.L.wm_eng_deliver(self.h, n, ids.ctypes.data, res.ctypes.data,
                               blob.ctypes.data, off.ctypes.data,
                               ln.ctypes.data)
@@ -236,14 +246,14 @@ class MapEngine:
         self.L.wm_eng_run_host_ids(self.h, len(ids), ids.ctypes.data)
         STATS["host_s"] += time.time() - t0
 
-    def _dispatch(self, prof, end_bonus, flag, rows,
-                  shape_override=None) -> list:
-        """DevCallPooled(s) for a homogeneous group of job rows; splits the
-        group when the padded direction tensor would exceed the per-call
-        HBM cap.  Returns a list of (call, rows) pairs.  A kernel variant
-        that fails to lower/compile sends its jobs to the host kernels
-        instead of crashing the run (reference src/map.c has no fatal
-        per-read compute path)."""
+    def _dispatch(self, prof, flag, rows, shape_override=None) -> list:
+        """DevCallPooled(s) for a homogeneous group of job rows (same
+        scoring class + flag; end_bonus/zdrop/w ride per-job columns);
+        splits the group when the padded direction tensor would exceed the
+        per-call HBM cap.  Returns a list of (call, rows) pairs.  A kernel
+        variant that fails to lower/compile sends its jobs to the host
+        kernels instead of crashing the run (reference src/map.c has no
+        fatal per-read compute path)."""
         import time
 
         from ..extend.pallas_kernel import (MAX_CALL_DIRS_BYTES,
@@ -276,14 +286,18 @@ class MapEngine:
         out = []
         for lo in range(0, len(rows), max_jobs):
             crows = rows[lo:lo + max_jobs]
-            units = [((0, int(r[C_QOFF]), int(r[C_QLEN]), bool(r[C_QREV])),
-                      (1, int(r[C_TOFF]), int(r[C_TLEN]), bool(r[C_TREV])),
-                      int(r[C_W]), int(r[C_ZD])) for r in crows]
+            # flat (B0, 8) job columns — DevCallPooled consumes the array
+            # directly (no per-job Python tuples on the dispatch path)
+            units = np.ascontiguousarray(
+                crows[:, [C_QOFF, C_QLEN, C_QREV, C_TOFF, C_TLEN, C_TREV,
+                          C_W, C_ZD]])
             t0 = time.time()
             try:
                 call = DevCallPooled(
                     self.pools, units, mat, opt.q, opt.e,
-                    opt.q2, opt.e2, int(end_bonus), int(flag),
+                    opt.q2, opt.e2,
+                    np.ascontiguousarray(crows[:, C_EB], np.int32),
+                    int(flag),
                     TB=64 if len(units) >= 64 else 32,
                     shape_override=shape_override,
                     splice=((opt.noncan, opt.junc_bonus)
@@ -320,8 +334,10 @@ class MapEngine:
         inflight: deque = deque()
 
         def bucket(rows):
+            # key = (scoring class, flag, quantized shape); end_bonus/zdrop
+            # ride per-job columns so they never split buckets
             for r in rows:
-                key = (int(r[C_PROF]), int(r[C_EB]), int(r[C_FLAG]),
+                key = (self.prof_rep[int(r[C_PROF])], int(r[C_FLAG]),
                        quantize_len(max(1, int(r[C_W]))),
                        quantize_len(max(1, int(r[C_QLEN]))),
                        quantize_len(max(1, int(r[C_TLEN]))))
@@ -334,8 +350,7 @@ class MapEngine:
                     break  # deeper queues add round trips, not overlap
                 if len(pending[key]) >= MIN_DEV_BATCH:
                     rows = np.stack(pending.pop(key))
-                    inflight.extend(self._dispatch(key[0], key[1], key[2],
-                                                   rows))
+                    inflight.extend(self._dispatch(key[0], key[1], rows))
                     did = True
             return did
 
@@ -347,13 +362,18 @@ class MapEngine:
         MERGE_W = (1024, 4096)
 
         def promote_stragglers():
-            """No full bucket and nothing in flight: pack same-profile
-            stragglers into fixed-shape padded calls; host-run the rest."""
+            """No full bucket and the device under-fed: pack same-profile
+            stragglers into AS FEW fixed-shape padded calls as possible
+            (one per (prof, flag) and menu L rung); host-run groups under
+            MIN_MERGED_BATCH.  On a tunnel-attached chip the per-call round
+            trip dominates padded vector work, so fewer/fatter calls win
+            (measured: 390 calls -> 170 calls lifted 34 -> 62 reads/s on
+            the bench)."""
             groups = defaultdict(list)
             big = defaultdict(list)  # original bucket key -> rows
             leftovers = []
             for key, rs in pending.items():
-                prof_eb_flag = key[:3]
+                prof_flag = key[:2]
                 spl = bool(self.opts3[key[0]].flag & MM_F_SPLICE)
                 for r in rs:
                     L = max(int(r[C_QLEN]), int(r[C_TLEN]))
@@ -367,16 +387,19 @@ class MapEngine:
                     elif Lc is None or Wc is None:
                         big[key].append(r)  # too costly for the host: own call
                     else:
-                        groups[prof_eb_flag + (Lc, min(Wc, Lc))].append(r)
+                        groups[prof_flag + (Lc,)].append(r)
             pending.clear()
             did = False
-            for gk, rs in groups.items():
+            for gk in sorted(groups):
+                rs = groups[gk]
                 if len(rs) >= MIN_MERGED_BATCH:
                     rows = np.stack(rs)
+                    Wc = next(c for c in MERGE_W
+                              if int(rows[:, C_W].max()) <= c)
                     STATS["dev_merged"] += len(rs)
                     inflight.extend(self._dispatch(
-                        gk[0], gk[1], gk[2], rows,
-                        shape_override=(gk[3], gk[3], gk[4])))
+                        gk[0], gk[1], rows,
+                        shape_override=(gk[2], gk[2], min(Wc, gk[2]))))
                     did = True
                 else:
                     # tiny leftover groups: the padded fixed-shape call
@@ -386,14 +409,19 @@ class MapEngine:
                 # exact bucket-key shape: same variant space as full buckets
                 rows = np.stack(rs)
                 STATS["dev_merged"] += len(rs)
-                inflight.extend(self._dispatch(key[0], key[1], key[2], rows))
+                inflight.extend(self._dispatch(key[0], key[1], rows))
                 did = True
             if leftovers:
+                # measured: deferring these to accumulate into padded
+                # device calls REGRESSES (42 vs 65 reads/s) — the host
+                # AVX-512 DP clears tiny jobs cheaper than the extra
+                # device calls cost, and it overlaps in-flight device work
                 ids = np.ascontiguousarray(
                     np.array([r[C_ID] for r in leftovers], np.int64))
                 STATS["host_small"] += len(ids)
                 t0 = time.time()
-                self.L.wm_eng_run_host_ids(self.h, len(ids), ids.ctypes.data)
+                self.L.wm_eng_run_host_ids(self.h, len(ids),
+                                           ids.ctypes.data)
                 STATS["host_s"] += time.time() - t0
                 did = True
             return did
@@ -410,13 +438,13 @@ class MapEngine:
             def collect_one(call, crows, stat):
                 t0 = time.time()
                 try:
-                    ezs = call.collect()
+                    collected = call.collect_blob()
                 except Exception as exc:  # device died mid-run
                     note_kernel_failure(("collect",), exc)
                     self._host_run(crows)
                     return
                 STATS[stat] += time.time() - t0
-                self._deliver(crows, ezs)
+                self._deliver(crows, collected)
 
             delivered = False
             while inflight and inflight[0][0].ready():
@@ -557,6 +585,49 @@ def map_batch_engine(mi, opt: MapOptions, seqs, qnames,
         if len(seq) == 0:
             results[i] = MapResult([], 0, 0)
     return results
+
+
+def map_batch_engine_pipelined(mi, opt: MapOptions, seqs, qnames,
+                               device=None, ways=2) -> list[MapResult]:
+    """Interleave `ways` engine drivers in Python threads over strided
+    sub-batches of one read batch.  While one driver blocks on in-flight
+    device calls (GIL released in the fetch wait), the other's engine
+    threads and scheduler use the core — the single-host analogue of the
+    reference's read/map/write pipeline overlap (src/kthread.c:130-159),
+    shaped for a tunnel-attached chip where device waits leave the core
+    idle.  Strided sharding keeps the longest-first batch order balanced
+    across drivers; results return in input order."""
+    import threading
+
+    ways = max(1, min(ways, (len(seqs) + 63) // 64))
+    if ways == 1:
+        return map_batch_engine(mi, opt, seqs, qnames, device=device)
+    idx = [list(range(w, len(seqs), ways)) for w in range(ways)]
+    results: list = [None] * ways
+    errs: list = [None] * ways
+
+    def run(w):
+        try:
+            results[w] = map_batch_engine(
+                mi, opt, [seqs[i] for i in idx[w]],
+                [qnames[i] for i in idx[w]], device=device)
+        except BaseException as e:  # re-raised in the caller
+            errs[w] = e
+
+    threads = [threading.Thread(target=run, args=(w,), daemon=True)
+               for w in range(ways)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for e in errs:
+        if e is not None:
+            raise e
+    out: list = [None] * len(seqs)
+    for w, ids in enumerate(idx):
+        for j, i in enumerate(ids):
+            out[i] = results[w][j]
+    return out
 
 
 class _HostOnlyPools:

@@ -202,13 +202,18 @@ def main(argv: list[str] | None = None) -> int:
         print(__doc__, file=sys.stderr)
         return 1
 
+    # device counting is the production default when a chip is reachable
+    # (count_kmers auto-probes); WM_KCOUNT_DEVICE=1/0 forces it on/off
+    _dev_env = os.environ.get("WM_KCOUNT_DEVICE")
+    _use_dev = None if _dev_env is None else _dev_env == "1"
+
     if "[" in args:  # nested operation tree
-        _eval_tree(args, os.environ.get("WM_KCOUNT_DEVICE", "0") == "1")
+        _eval_tree(args, _use_dev)
         return 0
 
     do_print = False
     out_db = None
-    use_device = os.environ.get("WM_KCOUNT_DEVICE", "0") == "1"
+    use_device = _use_dev
 
     i = 0
     op = None

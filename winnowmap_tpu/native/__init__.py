@@ -637,9 +637,10 @@ def sdust(seq, thres: int, win: int = 64) -> np.ndarray:
     return res
 
 
-def rle_ops_batch(packed, i_fin, j_fin, rev_flags):
-    """Batch traceback-op decode: 2-bit-packed walks -> list of BAM CIGARs
-    (C++; replicates the per-alignment _rle_cigar_packed semantics)."""
+def rle_ops_blob(packed, i_fin, j_fin, rev_flags):
+    """Batch traceback-op decode: 2-bit-packed walks -> one flat BAM-CIGAR
+    blob (uint32) + per-row (off int64, len int32), exactly the layout the
+    engine's deliver boundary consumes (no per-alignment splitting)."""
     L = lib()
     packed = np.ascontiguousarray(packed, dtype=np.uint8)
     n, cols = packed.shape
@@ -659,15 +660,18 @@ def rle_ops_batch(packed, i_fin, j_fin, rev_flags):
         if n == 0 or out_len.min() >= 0:
             break
         cap = min(cap * 4, hard_cap)
-    res = []
-    for r in range(n):
-        o = out_off[r]
-        res.append(out[o:o + out_len[r]].copy())
-    return res
+    return out, out_off, out_len
 
 
-def rle_ops_batch4(packed, i_fin, j_fin, rev_flags, min_intron):
-    """rle_ops_batch for 4-bit-packed walks (spliced kernel: intron op 3,
+def rle_ops_batch(packed, i_fin, j_fin, rev_flags):
+    """rle_ops_blob split into a list of per-alignment CIGAR arrays
+    (replicates the per-alignment _rle_cigar_packed semantics)."""
+    out, out_off, out_len = rle_ops_blob(packed, i_fin, j_fin, rev_flags)
+    return [out[o:o + ln].copy() for o, ln in zip(out_off, out_len)]
+
+
+def rle_ops_blob4(packed, i_fin, j_fin, rev_flags, min_intron):
+    """rle_ops_blob for 4-bit-packed walks (spliced kernel: intron op 3,
     idle 15); min_intron applies ksw_backtrack's leading-remainder N rule."""
     L = lib()
     packed = np.ascontiguousarray(packed, dtype=np.uint8)
@@ -686,11 +690,14 @@ def rle_ops_batch4(packed, i_fin, j_fin, rev_flags, min_intron):
         if n == 0 or out_len.min() >= 0:
             break
         cap = min(cap * 4, hard_cap)
-    res = []
-    for r in range(n):
-        o = out_off[r]
-        res.append(out[o:o + out_len[r]].copy())
-    return res
+    return out, out_off, out_len
+
+
+def rle_ops_batch4(packed, i_fin, j_fin, rev_flags, min_intron):
+    """rle_ops_blob4 split into a list of per-alignment CIGAR arrays."""
+    out, out_off, out_len = rle_ops_blob4(packed, i_fin, j_fin, rev_flags,
+                                          min_intron)
+    return [out[o:o + ln].copy() for o, ln in zip(out_off, out_len)]
 
 
 def meryl_decode_data(buf: bytes, suffix_size: int):
