@@ -32,8 +32,6 @@ def _compiled_count_block(k: int, n_block: int, direction: str):
     from .. import pin_jax_platforms
 
     pin_jax_platforms()  # hang-proof vs a down TPU tunnel (see helper)
-    if not jax.config.jax_enable_x64:
-        jax.config.update("jax_enable_x64", True)
 
     def block(codes):
         n = n_block - k + 1
@@ -73,7 +71,17 @@ def _compiled_count_block(k: int, n_block: int, direction: str):
         # boundary in order, which is exactly ascending k-mer order
         return uniq_sorted, counts, n_seg
 
-    return jax.jit(block)
+    jitted = jax.jit(block)
+
+    def run(codes):
+        # u64 k-mer math needs x64, but ONLY inside this scope: a global
+        # jax_enable_x64 flip would leak weak-typed int64 into every later
+        # trace (it broke the extd traceback kernel's i32 shifts when the
+        # device counter ran first in a process)
+        with jax.enable_x64():
+            return jitted(codes)
+
+    return run
 
 
 def iter_code_blocks(records, k: int, n_block: int | None = None):
