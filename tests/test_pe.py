@@ -2,11 +2,12 @@
 hit.c:373-435, frag reading bseq.c:131-158, paired SAM format.c:391-556).
 
 The stock reference binary asserts n_segs == 1 (map.c:291-292), so the
-oracle differential uses a binary patched only to generalize that assert
-and to skip the longest-first reshuffle in frag mode (the reshuffle
-separates pair mates before the qname-adjacency grouping) — see
-tests/tools/NOTES.  These tests cover the framework-side invariants that
-need no oracle."""
+oracle differential (test_pe_golden_byte_parity) uses a binary patched only
+to generalize that assert and to skip the longest-first reshuffle in frag
+mode (the reshuffle separates pair mates before the qname-adjacency
+grouping) — see tests/tools/NOTES for the exact patch and the generation
+command.  golden_pe.sam + the pe_* corpus are committed.  The invariant
+tests below need no oracle."""
 import os
 import subprocess
 import sys
@@ -61,6 +62,25 @@ def _parse_sam(path):
         recs.append((f[0], int(f[1]), f[2], int(f[3]), int(f[4]), f[5],
                      f[6], int(f[7]), int(f[8])))
     return recs
+
+
+def test_pe_golden_byte_parity(tmp_path):
+    """Full paired SAM byte-parity against the patched reference oracle
+    (reference src/pe.c mm_pair, src/hit.c mm_seg_gen, src/format.c:391-556
+    paired fields).  Oracle: `winnowmap -a --frag yes -W pe_rep.txt
+    pe_ref.fa pe_1.fq pe_2.fq` with the two NOTES patches; our CLI enters
+    the same paired pipeline for two query files."""
+    gold = REPO / "tests" / "data" / "golden"
+    out = tmp_path / "pe_parity.sam"
+    rc = _run_cli(["-a", "-W", str(gold / "pe_rep.txt"), "-o", str(out),
+                   str(gold / "pe_ref.fa"), str(gold / "pe_1.fq"),
+                   str(gold / "pe_2.fq")])
+    assert rc == 0
+    ours = [ln for ln in out.read_text().splitlines()
+            if not ln.startswith("@PG")]
+    want = [ln for ln in (gold / "golden_pe.sam").read_text().splitlines()
+            if not ln.startswith("@PG")]
+    assert ours == want
 
 
 def test_pe_two_files_sam_invariants(tmp_path):

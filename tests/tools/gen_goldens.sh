@@ -19,6 +19,14 @@ $BIN/winnowmap --sv-off -a -W t_rep_k15.txt t_ref.fa t_reads.fa 2>/dev/null > go
 $BIN/winnowmap          -a -W t_rep_k15.txt t_ref.fa t_reads.fa 2>/dev/null > golden_svon.sam
 # No-alignment (chain-only) PAF golden
 $BIN/winnowmap --sv-off    -W t_rep_k15.txt t_ref.fa t_reads.fa 2>/dev/null > golden_svoff_nocig.paf
+# MMI interop goldens (needs the -d/-NULL-guard patched oracle, see NOTES)
+$BIN/winnowmap -W t_rep_k15.txt -d t_ref.mmi t_ref.fa 2>/dev/null >/dev/null
+$BIN/winnowmap -a t_ref.mmi t_reads.fa 2>/dev/null > golden_mmi.sam
+# Paired-end golden (needs the assert/reshuffle patched oracle, see NOTES;
+# pe_ref.fa/pe_1.fq/pe_2.fq/pe_rep.txt from tests/test_pe.py::_pe_corpus
+# defaults, committed alongside)
+$BIN/winnowmap -a --frag yes -W pe_rep.txt pe_ref.fa pe_1.fq pe_2.fq \
+  2>/dev/null > golden_pe.sam
 echo "goldens written to $OUT"
 # Splice goldens (synthetic RNA corpus; see tests/test_e2e.py for the
 # deterministic generator parameters, seed 4242)

@@ -3,8 +3,11 @@
 The stock reference binary cannot actually reach this code: mm_map_frag
 asserts n_segs == 1 (reference src/map.c:291-292, a Winnowmap TODO), so
 paired input aborts.  This framework implements the full fragment path the
-reference ships (and minimap2 runs); parity is asserted against an oracle
-binary patched only to generalize that assert (see tests/tools/NOTES).
+reference ships (and minimap2 runs); byte-parity is asserted against an
+oracle binary patched only to generalize that assert and to skip the
+frag-mode read reshuffle (tests/tools/NOTES "Paired-end oracle";
+tests/test_pe.py::test_pe_golden_byte_parity vs the committed
+golden_pe.sam).
 """
 from __future__ import annotations
 
