@@ -49,6 +49,15 @@ SCRIPT = textwrap.dedent("""
         t = rng.integers(0, 4, n).astype(np.uint8)
         qs.append(mutate(t, 0.06, 0.06))
         ts.append(t)
+    # fully dissimilar pairs: u/v saturate at the gap-extend ladder, so the
+    # approx walk hits d0 == d1 TIES every row — the tie rule (reference
+    # takes d1 and advances) is invisible on similar pairs and a wrong rule
+    # diverges the z-drop (caught 2026-08-20: extd had ties-stay)
+    for _ in range(6):
+        qs.append(rng.integers(0, 4, int(rng.integers(200, 700))
+                               ).astype(np.uint8))
+        ts.append(rng.integers(0, 4, int(rng.integers(200, 700))
+                               ).astype(np.uint8))
 
     for flag, w, zd, eb in [(0x42 | 0x80, 751, 400, 10), (0x08, 500, 400, -1)]:
         ws = [w if i % 2 == 0 else max(64, w - 100) for i in range(len(qs))]

@@ -58,6 +58,10 @@ SCRIPT = textwrap.dedent("""
         t = rng.integers(0, 4, n).astype(np.uint8)
         qs.append(mutate(t, 0.08, 0.08))
         ts.append(t)
+    # a fully dissimilar pair: the approx walk's d0 == d1 ties happen every
+    # row (u/v saturated), pinning the reference tie rule (take d1, advance)
+    qs.append(rng.integers(0, 4, 150).astype(np.uint8))
+    ts.append(rng.integers(0, 4, 140).astype(np.uint8))
 
     # map-ont and asm5: asm5's O2=81 drives the int8 wrap paths
     PROFILES = [(2, 4, 4, 2, 24, 1), (1, 19, 39, 3, 81, 1)]

@@ -45,29 +45,31 @@ WORKER = textwrap.dedent("""
     gold = {gold!r}
     io_, mo = IndexOptions(), MapOptions()
     mo.flag |= MM_F_CIGAR | MM_F_OUT_SAM
-    wset = load_weight_set(gold + "/t_rep_k15.txt", io_.k)
-    mi = build_index(read_all(gold + "/t_ref.fa"), io_.w, io_.k, io_.flag,
+    wset = load_weight_set(gold + "/{rep}", io_.k)
+    mi = build_index(read_all(gold + "/{ref}"), io_.w, io_.k, io_.flag,
                      wset)
     update_mid_occ(mo, mi)
     part = sys.argv[3]
     t0w, t0c = time.time(), time.process_time()
-    n = map_file_sharded(mi, mo, gold + "/t_reads.fa", part, rank, nproc)
+    n = map_file_sharded(mi, mo, gold + "/{reads}", part, rank, nproc)
     print(f"WORK rank={{rank}} cpu={{time.process_time()-t0c:.3f}} "
           f"wall={{time.time()-t0w:.3f}} n={{n}}")
 """)
 
 
-def _run(nproc, tmp):
+def _run(nproc, tmp, gold=None, ref="t_ref.fa", reads="t_reads.fa",
+         rep="t_rep_k15.txt", tag=""):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["WM_NO_TPU"] = "1"  # CPU workers: host kernels
-    code = WORKER.format(repo=str(REPO), gold=str(GOLD))
+    code = WORKER.format(repo=str(REPO), gold=str(gold or GOLD), ref=ref,
+                         reads=reads, rep=rep)
     procs = [subprocess.Popen(
         [sys.executable, "-c", code, str(i), str(nproc),
-         str(tmp / f"part{nproc}.{i}")],
+         str(tmp / f"part{tag}{nproc}.{i}")],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for i in range(nproc)]
-    outs = [p.communicate(timeout=1100)[0] for p in procs]
+    outs = [p.communicate(timeout=2300)[0] for p in procs]
     work = []
     for i, (p, o) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i}:\n{o}"
@@ -108,3 +110,59 @@ def test_scaling_work_efficiency(tmp_path):
     # this tiny corpus (production batches amortize both; measured ~61%
     # here with a 20-read shard, dominated by fixed warm-up).
     assert eff >= 0.5, f"sharded work efficiency collapsed: {eff:.2%}"
+
+
+def _scale_corpus():
+    """800-read SV-aware corpus (200 reads/rank at 4 ranks), cached in /tmp
+    across runs: big enough that per-rank fixed costs (native-lib load,
+    first-batch setup) drown (VERDICT r4 #6)."""
+    import subprocess as sp
+
+    d = Path(os.environ.get("WM_SCALE_EFF_DIR", "/tmp/wm_scale_eff"))
+    d.mkdir(parents=True, exist_ok=True)
+    ref, reads, rep = d / "sc_ref.fa", d / "sc_reads.fa", d / "sc_rep.txt"
+    if not (ref.exists() and reads.exists()):
+        sp.run([sys.executable, str(REPO / "tests/tools/make_testdata.py"),
+                "--out-prefix", str(d / "sc"), "--genome-len", "1000000",
+                "--n-reads", "800", "--read-len", "12000",
+                "--read-len-jitter", "3000", "--error", "0.08",
+                "--seed", "11", "--n-chroms", "2"], check=True)
+    if not rep.exists():
+        from winnowmap_tpu.io.fastx import read_all
+        from winnowmap_tpu.kcount import count_kmers
+
+        kc = count_kmers(read_all(str(ref)), 15)
+        thr = kc.threshold_distinct(0.9998)
+        with open(rep, "w") as f:
+            for line in kc.greater_than(thr).print_lines():
+                f.write(line + "\n")
+    return d
+
+
+def test_scaling_work_efficiency_4rank(tmp_path):
+    """4-rank work efficiency on a corpus big enough to drown warm-up
+    (800 x ~12 kb SV-aware reads, 200/rank): the work-bound multi-host
+    scaling estimate for the BASELINE >=85% criterion, asserted >= 0.7
+    (VERDICT r4 #6).  Also asserts the 4-way merged output equals the
+    single-rank output byte-for-byte."""
+    d = _scale_corpus()
+    kw = dict(gold=d, ref="sc_ref.fa", reads="sc_reads.fa",
+              rep="sc_rep.txt", tag="sc")
+    w1 = _run(1, tmp_path, **kw)
+    w4 = _run(4, tmp_path, **kw)
+    cpu1 = w1[0][1]
+    max_cpu = max(c for _, c, _ in w4)
+    eff = cpu1 / (4 * max_cpu)
+    per_rank = ", ".join(f"r{r}={c:.2f}s" for r, c, _ in sorted(w4))
+    print(f"[scaling] 1-rank work {cpu1:.2f}s; 4-rank {per_rank}; "
+          f"projected 4-host efficiency {eff:.2%} (work-bound estimate)")
+
+    import io as _io
+
+    from winnowmap_tpu.parallel import merge_parts
+
+    buf1, buf4 = _io.StringIO(), _io.StringIO()
+    merge_parts(buf1, [str(tmp_path / "partsc1.0")])
+    merge_parts(buf4, [str(tmp_path / f"partsc4.{i}") for i in range(4)])
+    assert buf1.getvalue() == buf4.getvalue()
+    assert eff >= 0.7, f"4-rank work efficiency below floor: {eff:.2%}"

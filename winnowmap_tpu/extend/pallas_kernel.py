@@ -179,6 +179,10 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
     # lanes for toolchains that learn to lower them.
     CD = i16 if os.environ.get("WM_PALLAS_CD") == "i16" else i32
     cd = CD  # scalar constructor
+    # timing-ablation hooks (tests/tools/kernel_ablate.py): comma-separated
+    # block names to PRUNE from the traced kernel.  Results are wrong with
+    # any token set; production never sets WM_KERNEL_ABL.
+    ABL = frozenset(os.environ.get("WM_KERNEL_ABL", "").split(","))
     if splice is None:
         # wrap-elision gate: int8 wraps only matter where an intermediate
         # can leave [-128, 127]; for these bounds none can (validated by
@@ -345,9 +349,12 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
             zdr = accv["zdr"]
 
             # ---- per-step query/target rows (int8) ----
-            # qv slides one lane per row; loading a window-aligned block of
-            # width Wb + ROWS once per step makes every row's query vector a
-            # STATIC slice of it (no per-row rotate chain).
+            # qv slides one lane per row.  Mosaic lowers an UNALIGNED static
+            # lane slice of the step block as a full-width relayout (~15 us
+            # per (step, tile) at Wb=640 — measured, tests/tools/
+            # probe_core.py), so only row 0 slices the block; later rows
+            # roll the live vector right by one lane and refill lane 0 from
+            # a (TB, 1) column of the block (bit-identical values).
             QR = _round_up(Wb + ROWS + 128, 128)
 
             def dyn_blk(ref, off, width):
@@ -395,10 +402,17 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
             def rel16(pos32):
                 return pos32  # masks stay i32 (no 16-bit compares on target)
 
+            lane0_w = lane_rel == 0
+            qv = qblk[:, ROWS - 1:ROWS - 1 + Wb]  # row 0: one slice per step
             for j in range(ROWS):
                 r = r0 + j
-                # row's query vector: static slice of the step block
-                qv = qblk[:, ROWS - 1 - j:ROWS - 1 - j + Wb]
+                if j > 0 and "noqv" not in ABL:
+                    # row j's query vector = row j-1's shifted right one
+                    # lane, lane 0 refilled with qbuf[o_q0 - j] (the (TB, 1)
+                    # column ROWS-1-j of the step block)
+                    qv = jnp.where(lane0_w,
+                                   qblk[:, ROWS - 1 - j:ROWS - j],
+                                   jnp.roll(qv, 1, axis=1))
 
                 active = jnp.logical_and(done == 0, r < qlen + tlen - 1)
                 st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1),
@@ -413,46 +427,54 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                 en = (en0 + 16) // 16 * 16 - 1
 
                 # row's own rounded start advanced this row (ref shift16)
-                st0p = jnp.maximum(jnp.maximum(0, (r - 1) - qlen + 1),
-                                   ((r - 1) - w + 1) >> 1)
-                stp = st0p // 16 * 16
-                shift16 = jnp.logical_and(
-                    active, jnp.logical_and(r >= 1, st > stp))
-                en0p = jnp.minimum(jnp.minimum(tlen - 1, r - 1),
-                                   ((r - 1) + w) >> 1)
-                enp = (en0p + 16) // 16 * 16 - 1
-                in_prev = jnp.logical_and(st - 1 >= stp, st - 1 <= enp)
-                in_prev = jnp.logical_and(in_prev, r >= 1)
-                use_nat = jnp.logical_and(shift16, in_prev)
-                at_lane0 = lane_rel == rel16(st - base)
-                at_st = jnp.logical_and(at_lane0, active)
-                at0 = st == 0
+                if "nobound" not in ABL:
+                    st0p = jnp.maximum(jnp.maximum(0, (r - 1) - qlen + 1),
+                                       ((r - 1) - w + 1) >> 1)
+                    stp = st0p // 16 * 16
+                    shift16 = jnp.logical_and(
+                        active, jnp.logical_and(r >= 1, st > stp))
+                    en0p = jnp.minimum(jnp.minimum(tlen - 1, r - 1),
+                                       ((r - 1) + w) >> 1)
+                    enp = (en0p + 16) // 16 * 16 - 1
+                    in_prev = jnp.logical_and(st - 1 >= stp, st - 1 <= enp)
+                    in_prev = jnp.logical_and(in_prev, r >= 1)
+                    use_nat = jnp.logical_and(shift16, in_prev)
+                    at_lane0 = lane_rel == rel16(st - base)
+                    at_st = jnp.logical_and(at_lane0, active)
+                    at0 = st == 0
 
-                # ---- u[r]/y[r] boundary cell (t == r inside rounded band)
-                has_r = jnp.logical_and(
-                    active, jnp.logical_and(en >= r, r >= st))
-                rel_r = rel16(r - base)
-                onehot_r = jnp.logical_and(has_r, lane_rel == rel_r)
-                ub = ubound(r)
-                ub8 = ub.astype(CD)  # all boundary values fit int8
-                y = jnp.where(onehot_r, cd(init_xy), y)
-                if y2 is not None:
-                    y2 = jnp.where(onehot_r, cd(init_xy2), y2)
-                u = jnp.where(onehot_r, ub8, u)
+                    # ---- u[r]/y[r] boundary cell (t == r in rounded band)
+                    has_r = jnp.logical_and(
+                        active, jnp.logical_and(en >= r, r >= st))
+                    rel_r = rel16(r - base)
+                    onehot_r = jnp.logical_and(has_r, lane_rel == rel_r)
+                    ub = ubound(r)
+                    ub8 = ub.astype(CD)  # all boundary values fit int8
+                    y = jnp.where(onehot_r, cd(init_xy), y)
+                    if y2 is not None:
+                        y2 = jnp.where(onehot_r, cd(init_xy2), y2)
+                    u = jnp.where(onehot_r, ub8, u)
+                else:
+                    at_st = jnp.zeros_like(done, jnp.bool_)
+                    use_nat = at_st
+                    at0 = st == 0
+                    ub8 = cd(0)
 
                 # ---- score row over the covered chunk ----
-                cover_last = st0 + (en0 - st0) // 16 * 16 + 15
-                s_mask = jnp.logical_and(
-                    active, jnp.logical_and(lane_rel >= rel16(st0 - base),
-                                            lane_rel <= rel16(cover_last
-                                                              - base)))
-                sc_n_def = -e if splice is not None else -e2
-                sc = jnp.where(
-                    jnp.logical_or(sfv == 4, qv == 4),
-                    cd(sc_n_def if sc_n is None else sc_n),
-                    jnp.where(sfv == qv, cd(sc_mch), cd(sc_mis)),
-                )
-                s = jnp.where(s_mask, sc, s)
+                if "noscore" not in ABL:
+                    cover_last = st0 + (en0 - st0) // 16 * 16 + 15
+                    s_mask = jnp.logical_and(
+                        active,
+                        jnp.logical_and(lane_rel >= rel16(st0 - base),
+                                        lane_rel <= rel16(cover_last
+                                                          - base)))
+                    sc_n_def = -e if splice is not None else -e2
+                    sc = jnp.where(
+                        jnp.logical_or(sfv == 4, qv == 4),
+                        cd(sc_n_def if sc_n is None else sc_n),
+                        jnp.where(sfv == qv, cd(sc_mch), cd(sc_mis)),
+                    )
+                    s = jnp.where(s_mask, sc, s)
 
                 # ---- core recurrence over the rounded band [st, en] ----
                 # native wrapping int8, exactly the SSE kernel's lanes
@@ -651,26 +673,46 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                     accv["mqe_t"] = mqe_t
                     accv["mte"] = mte
                     accv["mte_q"] = mte_q
+                elif "noh0" in ABL:
+                    pass
                 else:
                     H0 = accv["H0"]
                     lH0t = accv["lH0t"]
-                    d0 = lane_val8(v, rel16(lH0t - base))
-                    d1 = lane_val8(u, rel16(lH0t + 1 - base))
-                    both_in = jnp.logical_and(
-                        jnp.logical_and(lH0t >= st0, lH0t <= en0),
-                        jnp.logical_and(lH0t + 1 >= st0, lH0t + 1 <= en0))
+                    # fused single-reduce form of the oracle's d0/d1 walk
+                    # (wm_ksw approx branch; reference ksw2_extd2_sse.c /
+                    # ksw2_exts2_sse.c "if (d0 > d1) H0 += d0; else H0 +=
+                    # d1, ++last_H0_t"): d0 = v[lH0t], d1 = u[lH0t+1],
+                    # ties take d1 and ADVANCE in both extd and exts.
+                    # Encode both candidates into ONE masked max-reduce
+                    # with the winner's identity in the LSB; d1 carries
+                    # the +1 so it wins ties.
                     only_cur = jnp.logical_and(lH0t >= st0, lH0t <= en0)
-                    H0_new = jnp.where(
-                        both_in, H0 + jnp.maximum(d0, d1),
-                        jnp.where(only_cur, H0 + d0, H0 + d1))
-                    # tie rule differs: extd advances lH0t only on d1 > d0;
-                    # exts advances on ties too (wm_exts approx branch)
-                    adv = d1 >= d0 if splice is not None else d1 > d0
-                    lH0t_new = jnp.where(
-                        jnp.logical_and(both_in, adv), lH0t + 1,
-                        jnp.where(only_cur, lH0t, lH0t + 1))
-                    H0_new = jnp.where(
-                        r == 0, lane_val8(v, rel16(0 - base)) - qe, H0_new)
+                    both_in = jnp.logical_and(
+                        only_cur,
+                        jnp.logical_and(lH0t + 1 >= st0, lH0t + 1 <= en0))
+                    use1 = jnp.logical_or(both_in,
+                                          jnp.logical_not(only_cur))
+                    rel0 = rel16(lH0t - base)
+                    m0 = jnp.logical_and(lane_rel == rel0, only_cur)
+                    m1 = jnp.logical_and(lane_rel == rel0 + 1, use1)
+                    vi = v.astype(i32)
+                    ui = u.astype(i32)
+                    enc0, enc1 = vi * 2, ui * 2 + 1
+                    # no-lane fill: decodes to NEG_INF (>>1) with LSB=1 so
+                    # the no-candidate walk still advances lH0t (the
+                    # oracle's "neither in band" branch takes d1)
+                    kfill = jnp.int32(-0x7FFFFFFF)
+                    K = jnp.max(
+                        jnp.where(m0, enc0, jnp.where(m1, enc1, kfill)),
+                        axis=1, keepdims=True)
+                    dsel = jax.lax.shift_right_arithmetic(K, 1)
+                    took1 = (K & 1) == 1
+                    H0_new = H0 + dsel
+                    lH0t_new = jnp.where(took1, lH0t + 1, lH0t)
+                    # r == 0: lH0t is 0 and only m0 selects (st0 == en0 ==
+                    # 0), so dsel already equals v[0 - base]; the oracle's
+                    # H0 init is that value minus qe
+                    H0_new = jnp.where(r == 0, H0_new - qe, H0_new)
                     lH0t_new = jnp.where(r == 0, 0, lH0t_new)
                     H0 = jnp.where(active, H0_new, H0)
                     lH0t = jnp.where(active, lH0t_new, lH0t)
@@ -889,84 +931,6 @@ def _compiled_exts_pallas(B, TB, Lq, Lt, R, Wb, q, e, q2, noncan, junc_bonus,
         interpret=_interpret(),
     )
     return jax.jit(call), (WQ, WT, QOFF, SOFF, W_MAX)
-
-
-def extd_pallas(qseqs, tseqs, mat, q, e, q2, e2, w, zdrop, end_bonus, flag,
-                TB=32):
-    """Batched wm_extd-equivalent on TPU via the Pallas wavefront kernel.
-
-    Returns the same result tuple layout as extend.device.extd_batch but with
-    dirs in the common-window layout (plus per-row st/en and the shared base
-    offsets) for wm_backtrack_band2.
-    """
-    from .device import BatchExtResult
-
-    if q2 + e2 < q + e:
-        q, q2 = q2, q
-        e, e2 = e2, e
-    B0 = len(qseqs)
-    qlen = np.array([len(s) for s in qseqs], np.int32)
-    tlen = np.array([len(s) for s in tseqs], np.int32)
-    Lq = int(max(1, qlen.max()))
-    Lt = int(max(1, tlen.max()))
-    R = Lq + Lt - 1
-    n_col = min(min(Lq, Lt), w + 1)
-    Wb = _round_up(((n_col + 15) // 16 + 1) * 16 + 32 + _EXTD_ROWS, 128)
-    B = _round_up(B0, TB)
-
-    mat = np.asarray(mat, np.int8)
-    sc_n = int(mat[24]) if mat[24] != 0 else None
-    with_cigar = not (flag & 0x01)
-    approx_max = bool(flag & 0x08)
-    approx_drop = bool(flag & 0x10)
-    right_gaps = bool(flag & 0x02)
-
-    run, (WQ, WT, QOFF, SOFF) = _compiled_extd_pallas(
-        B, TB, Lq, Lt, R, Wb, q, e, q2, e2, w, approx_max, right_gaps,
-        with_cigar, approx_drop, int(mat[0]), int(mat[1]), sc_n,
-        ROWS=extd_rows(Wb))
-
-    qbuf = np.zeros((B, WQ), np.uint8)
-    sfbuf = np.zeros((B, WT), np.uint8)
-    for i, (qs, ts) in enumerate(zip(qseqs, tseqs)):
-        n = len(qs)
-        qbuf[i, QOFF - n:QOFF] = qs[::-1]
-        sfbuf[i, SOFF:SOFF + len(ts)] = ts
-    qlen_a = np.ones((B, 1), np.int32)
-    tlen_a = np.ones((B, 1), np.int32)
-    qlen_a[:B0, 0] = qlen
-    tlen_a[:B0, 0] = tlen
-    w_a = np.full((B, 1), w, np.int32)
-    zd_a = np.full((B, 1), zdrop, np.int32)
-
-    out = run(qbuf, sfbuf, qlen_a, tlen_a, w_a, zd_a)
-    res = np.asarray(out[0])[:B0]
-    mx, zdr, max_q, max_t, mqe, mqe_t, mte, mte_q, score = (
-        res[:, 0], res[:, 1], res[:, 2], res[:, 3], res[:, 4], res[:, 5],
-        res[:, 6], res[:, 7], res[:, 8])
-    result = BatchExtResult(
-        max=mx, zdropped=zdr.astype(bool), max_q=max_q, max_t=max_t,
-        mqe=mqe, mqe_t=mqe_t, mte=mte, mte_q=mte_q, score=score,
-        reach_end=np.zeros(B0, bool),
-        dirs=np.asarray(out[1]) if with_cigar else None,  # (R, B, Wb)
-        off=None, off_end=None,
-    )
-    if with_cigar:
-        # window base and per-row rounded band bounds are pure functions of
-        # (r, qlen, tlen, w) -- recomputed on host for the backtracker
-        rr = np.arange(R, dtype=np.int64)
-        r0b = rr // extd_rows(Wb) * extd_rows(Wb)  # step-window base
-        st0c = np.maximum(np.maximum(0, r0b - Lq + 1), (r0b - w + 1) >> 1)
-        result.base = (st0c // 16 * 16 - 16).astype(np.int32)
-        ql = qlen.astype(np.int64)[:, None]
-        tl = tlen.astype(np.int64)[:, None]
-        st0 = np.maximum(np.maximum(0, rr[None, :] - ql + 1),
-                         (rr[None, :] - w + 1) >> 1)
-        en0 = np.minimum(np.minimum(tl - 1, rr[None, :]),
-                         (rr[None, :] + w) >> 1)
-        result.off = (st0 // 16 * 16).astype(np.int32)
-        result.off_end = ((en0 + 16) // 16 * 16 - 1).astype(np.int32)
-    return result
 
 
 def _exts_long_thres(q, e, q2):
@@ -1297,7 +1261,7 @@ def traceback_batch(dirs_dev, qlen, tlen, w, Lq, i0, j0, rev_cigar,
 
 
 def cigar_pallas(res, b: int, i0: int, j0: int, rev_cigar: bool) -> np.ndarray:
-    """Host traceback for alignment b of an extd_pallas/extz_pallas result
+    """Host traceback for alignment b of a step-window kernel result
     (common-window dirs layout; reference ksw_backtrack, src/ksw2.h:119-151)."""
     import ctypes
 
@@ -1343,10 +1307,15 @@ _LEN_STEPS = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144,
 # bit-identical for any value.  Wide bands shrink ROWS so the VMEM working
 # set (state values + the (ROWS, TB, Wb) dirs block) stays under the 16 MB
 # scoped-vmem limit.
-_EXTD_ROWS = 32
+_EXTD_ROWS = max(32, int(__import__("os").environ.get("WM_EXTD_ROWS", "32")))
 
 
 def extd_rows(Wb: int) -> int:
+    import os
+
+    ov = os.environ.get("WM_EXTD_ROWS")
+    if ov:
+        return int(ov)
     if Wb <= 768:
         return 32
     if Wb <= 1536:
@@ -1359,6 +1328,21 @@ def quantize_len(n: int, _bisect=__import__("bisect").bisect_left) -> int:
     if i < len(_LEN_STEPS):
         return _LEN_STEPS[i]
     return _round_up(n, 16384)
+
+
+_LEN_STEPS_A = np.array(_LEN_STEPS, np.int64)
+
+
+def quantize_len_vec(n):
+    """Vectorized quantize_len over an int array (values > the last step
+    round up to 16384 like the scalar form)."""
+    n = np.maximum(np.asarray(n, np.int64), 1)
+    i = np.searchsorted(_LEN_STEPS_A, n)
+    big = i >= len(_LEN_STEPS)
+    out = _LEN_STEPS_A[np.minimum(i, len(_LEN_STEPS) - 1)]
+    if big.any():
+        out = np.where(big, (n + 16383) // 16384 * 16384, out)
+    return out
 
 
 def est_dirs_slot_bytes(Lq: int, Lt: int, w: int) -> int:

@@ -99,6 +99,13 @@ def _use_device() -> bool:
 
 
 _BROKEN_KERNELS: set = set()  # kernel-variant keys that failed to lower/run
+_TRANSIENT_FAILS: dict = {}  # key -> count of transient (network-ish) fails
+
+# markers of a transient tunnel/RPC failure (remote compile HTTP hiccup,
+# connection reset): retryable, NOT a Mosaic lowering bug
+_TRANSIENT_MARKERS = ("remote_compile", "read body", "Connection",
+                      "UNAVAILABLE", "DEADLINE", "Socket closed",
+                      "RESOURCE_EXHAUSTED", "connection")
 
 
 def kernel_broken(key) -> bool:
@@ -109,19 +116,31 @@ def note_kernel_failure(key, exc) -> None:
     """A device kernel variant failed to compile or run: remember it so its
     jobs fall back to the host AVX-512 kernels instead of crashing the run
     (reference behaviour: the mapper has no fatal per-read compute path,
-    src/map.c).  After 2 distinct variant failures the whole device DP path
-    is disabled for the process (the failure is almost certainly systemic,
-    e.g. a Mosaic lowering regression)."""
+    src/map.c).  Transient tunnel errors (remote-compile HTTP hiccups) only
+    disable a variant after 2 failures of that same variant and never trip
+    the systemic kill; after 2 distinct non-transient variant failures the
+    whole device DP path is disabled for the process (the failure is almost
+    certainly systemic, e.g. a Mosaic lowering regression)."""
     import sys
 
-    first = not _BROKEN_KERNELS
-    _BROKEN_KERNELS.add(key)
-    if len(_BROKEN_KERNELS) >= 2:
-        _BROKEN_KERNELS.add("*")
+    msg = str(exc)
+    transient = any(m in msg for m in _TRANSIENT_MARKERS)
+    first = not _BROKEN_KERNELS and not _TRANSIENT_FAILS
+    if transient:
+        n = _TRANSIENT_FAILS[key] = _TRANSIENT_FAILS.get(key, 0) + 1
+        if n >= 2 and key not in _BROKEN_KERNELS:
+            # repeated same-variant transient failures: disable just it
+            # (never counted toward the systemic kill below)
+            _BROKEN_KERNELS.add(key)
+    else:
+        _BROKEN_KERNELS.add(key)
+        hard = _BROKEN_KERNELS - set(_TRANSIENT_FAILS) - {"*"}
+        if len(hard) >= 2:
+            _BROKEN_KERNELS.add("*")
     if first:
-        msg = str(exc).splitlines()
+        lines = msg.splitlines()
         print(f"[WARNING] device DP kernel {key} failed "
-              f"({type(exc).__name__}: {msg[0] if msg else ''}); "
+              f"({type(exc).__name__}: {lines[0] if lines else ''}); "
               "falling back to host kernels for affected jobs",
               file=sys.stderr)
     STATS["kernel_failures"] += 1
