@@ -89,25 +89,33 @@ def kernel_bench():
             for i in range(B)]
     mat = gen_simple_mat(2, 4, 1)
 
+    from winnowmap_tpu.utils.devguard import device_guard
+
     def mk():
         call = DevCallPooled(pools, jobs, mat, 4, 2, 24, 1, -1, 0x18, TB=64)
         call.start_fetch()
         return call
 
-    mk().collect()  # compile
+    # device_guard: a wedged tunnel raises DeviceHang (caught by the
+    # caller) instead of hanging the driver's bench run forever
+    device_guard(lambda: mk().collect(), tag="kernel-bench")  # compile
     best = 1e9
     for _ in range(3):
         t0 = time.time()
-        mk().collect()
+        device_guard(lambda: mk().collect(), tag="kernel-bench")
         best = min(best, time.time() - t0)
     # pipelined depth 4: amortizes the ~24 ms tunnel round trip a serial
     # call pays (tests/tools/probe_l0.py) — the engine's in-flight depth
     best_p = 1e9
-    for _ in range(3):
-        t0 = time.time()
+
+    def pipe4():
         calls = [mk() for _ in range(4)]
         for c in calls:
             c.collect()
+
+    for _ in range(3):
+        t0 = time.time()
+        device_guard(pipe4, tag="kernel-bench-pipe")
         best_p = min(best_p, (time.time() - t0) / 4)
     cells = B * (2 * n - 1) * min(n, w + 1)
     gcs = cells / best / 1e9
@@ -150,11 +158,13 @@ def main():
         from winnowmap_tpu.io.fastx import read_all as _read_all
         from winnowmap_tpu.kcount import count_kmers as _count
 
+        from winnowmap_tpu.utils.devguard import device_guard as _guard
+
         _recs = _read_all(str(ref))
         _bp = sum(len(r.seq) for r in _recs)
-        _count(_recs, 15)  # warm (device compile)
+        _guard(lambda: _count(_recs, 15), tag="kcount")  # warm (compile)
         t0 = time.time()
-        _kc = _count(_recs, 15)
+        _kc = _guard(lambda: _count(_recs, 15), tag="kcount")
         _dt = time.time() - t0
         log(f"kcount: {_bp / 1e6:.1f} Mbp in {_dt:.2f}s -> "
             f"{_bp / 1e6 / _dt:.1f} Mbp/s ({len(_kc.kmers)} distinct k-mers,"
@@ -171,6 +181,9 @@ def main():
     io, mo = IndexOptions(), MapOptions()
     mo.flag |= MM_F_CIGAR | MM_F_OUT_SAM
 
+    from winnowmap_tpu.utils.devguard import (DeviceHang, device_guard,
+                                              hard_exit_if_hung)
+
     t0 = time.time()
     wset = load_weight_set(str(rep), io.k)
     records = read_all(str(ref))
@@ -178,7 +191,18 @@ def main():
     # the --bloom-filter mode whose SAM output is byte-identical to the
     # reference binary (BASELINE's gate), not the exact-set default
     bloom = load_weight_bloom(str(rep), io.k)
-    mi = build_index(records, io.w, io.k, io.flag, wset, weight_bloom=bloom)
+
+    def _build():
+        return build_index(records, io.w, io.k, io.flag, wset,
+                           weight_bloom=bloom)
+
+    try:
+        # guarded: the device sketch path can wedge with the tunnel; on
+        # hang the guard disables the device and we rebuild host-side
+        mi = device_guard(_build, timeout=900, tag="index-build")
+    except DeviceHang:
+        log("index build wedged on the device path; rebuilding on host")
+        mi = _build()
     update_mid_occ(mo, mi)
     t_index = time.time() - t0
     log(f"index build: {t_index:.2f}s (strict bloom-parity mode)")
@@ -259,6 +283,10 @@ def main():
     log(f"vs_projected_32thread_baseline={rps / (BASELINE_READS_PER_SEC * 32):.4f}"
         f" (single CPU core on this host; 32-thread baseline projected)")
     print(json.dumps(out))
+    # a detected device hang leaves a wedged daemon thread inside the jax
+    # runtime; normal interpreter teardown can block on it — exit hard
+    # (after stdout flush) so the driver always gets the JSON line above
+    hard_exit_if_hung()
 
 
 if __name__ == "__main__":

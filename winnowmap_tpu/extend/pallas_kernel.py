@@ -235,6 +235,12 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
     # between-step window advance is bounded by ROWS + 16 (st0c moves at
     # most 1/row); the Wb formula in the callers budgets for it
     MAX_DELTA = (ROWS + 16 + 15) // 16 * 16
+    # direction bytes are PACKED 4 rows per i32 lane (byte j%4 of word
+    # j//4): a per-row u8 store costs Mosaic a 32->8 pack relayout per row
+    # (~17 ms/call at the bench shape, tests/tools/probe_abl.py); packing
+    # replaces it with shift+or in native i32 lanes and writes a quarter
+    # of the vectors.  The traceback kernel unpacks by byte.
+    assert ROWS % 4 == 0
 
     def stepbase(r0):
         st0c = jnp.maximum(jnp.maximum(0, r0 - Lq + 1),
@@ -273,14 +279,14 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
 
         @pl.when(r0 == 0)
         def _init():
-            u_s[:] = jnp.full((TB, Wb), init_xy, i8)
-            v_s[:] = jnp.full((TB, Wb), init_xy, i8)
-            x_s[:] = jnp.full((TB, Wb), init_xy, i8)
-            y_s[:] = jnp.full((TB, Wb), init_xy, i8)
-            x2_s[:] = jnp.full((TB, Wb), init_xy2, i8)
+            u_s[:] = jnp.full((TB, Wb), init_xy, i32)
+            v_s[:] = jnp.full((TB, Wb), init_xy, i32)
+            x_s[:] = jnp.full((TB, Wb), init_xy, i32)
+            y_s[:] = jnp.full((TB, Wb), init_xy, i32)
+            x2_s[:] = jnp.full((TB, Wb), init_xy2, i32)
             if y2_s is not None:
-                y2_s[:] = jnp.full((TB, Wb), init_xy2, i8)
-            s_s[:] = jnp.zeros((TB, Wb), i8)
+                y2_s[:] = jnp.full((TB, Wb), init_xy2, i32)
+            s_s[:] = jnp.zeros((TB, Wb), i32)
             if not approx_max:
                 H_s[:] = jnp.full((TB, Wb), NEG_INF, i32)
             col = jax.lax.broadcasted_iota(i32, (TB, 16), 1)
@@ -580,8 +586,12 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                     y2 = jnp.where(band_mask, y2_new, y2)
 
                 if with_cigar:
-                    dirs_ref[j, :, :] = jnp.where(band_mask, d,
-                                                  zero8).astype(u8)
+                    # pack 4 rows per i32 word (byte j%4), one store per 4
+                    # rows -- see the packing note above MAX_DELTA
+                    dm = jnp.where(band_mask, d, zero8).astype(i32)
+                    dacc = dm if j % 4 == 0 else dacc | (dm << (8 * (j % 4)))
+                    if j % 4 == 3:
+                        dirs_ref[j // 4, :, :] = dacc
 
                 mx = accv["mx"]
                 max_q = accv["max_q"]
@@ -754,15 +764,16 @@ def _build_extd_kernel(TB, Wb, WQ, WT, QOFF, SOFF, Lq, R, q, e, q2, e2,
                 accv["zdr"] = zdr
                 accv["done"] = done
 
-            # ---- write state back (once per step) ----
-            u_s[:] = u.astype(i8)
-            v_s[:] = v.astype(i8)
-            x_s[:] = x.astype(i8)
-            y_s[:] = y.astype(i8)
-            x2_s[:] = x2.astype(i8)
+            # ---- write state back (once per step; i32 lanes, values are
+            # already int8-wrapped by w8 so no truncation is needed) ----
+            u_s[:] = u.astype(i32)
+            v_s[:] = v.astype(i32)
+            x_s[:] = x.astype(i32)
+            y_s[:] = y.astype(i32)
+            x2_s[:] = x2.astype(i32)
             if y2_s is not None:
-                y2_s[:] = y2.astype(i8)
-            s_s[:] = s.astype(i8)
+                y2_s[:] = y2.astype(i32)
+            s_s[:] = s.astype(i32)
             if not approx_max:
                 H_s[:] = H
             pad = jnp.zeros((TB, 4), i32)
@@ -809,30 +820,37 @@ def _compiled_extd_pallas(B, TB, Lq, Lt, R, Wb, q, e, q2, e2, W_MAX,
         pl.BlockSpec((TB, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((TB, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
     ]
+    # band state lives in i32 lanes: values always fit int8 (the compute
+    # path wraps through w8 before merging), but i8 scratch costs Mosaic a
+    # pack/unpack relayout on every read+write of every array per step --
+    # i32 storage trades 4x VMEM footprint (~1.1 MB at TB=64, Wb=640) for
+    # zero relayouts (measured ~9 ms/call of state r/w at the bench shape)
     scratch = [
-        pltpu.VMEM((TB, Wb), jnp.int8),  # u
-        pltpu.VMEM((TB, Wb), jnp.int8),  # v
-        pltpu.VMEM((TB, Wb), jnp.int8),  # x
-        pltpu.VMEM((TB, Wb), jnp.int8),  # y
-        pltpu.VMEM((TB, Wb), jnp.int8),  # x2
-        pltpu.VMEM((TB, Wb), jnp.int8),  # y2
-        pltpu.VMEM((TB, Wb), jnp.int8),  # s
+        pltpu.VMEM((TB, Wb), jnp.int32),  # u
+        pltpu.VMEM((TB, Wb), jnp.int32),  # v
+        pltpu.VMEM((TB, Wb), jnp.int32),  # x
+        pltpu.VMEM((TB, Wb), jnp.int32),  # y
+        pltpu.VMEM((TB, Wb), jnp.int32),  # x2
+        pltpu.VMEM((TB, Wb), jnp.int32),  # y2
+        pltpu.VMEM((TB, Wb), jnp.int32),  # s
         pltpu.VMEM((TB, Wb), jnp.int32),  # H
         pltpu.VMEM((TB, 16), jnp.int32),  # acc
     ]
     if with_cigar:
         # dirs rows padded to the traceback's KTB multiple; rows past
-        # KR*ROWS are never written or walked (see _compiled_traceback)
+        # KR*ROWS are never written or walked (see _compiled_traceback).
+        # PACKED: 4 direction rows per i32 word (row r = byte r%4 of word
+        # r//4), so the tensor is (rows/4, B, Wb) i32 -- same HBM bytes
         RT = _round_up(KR * ROWS, TB_KTB)
-        assert RT % ROWS == 0
+        assert RT % ROWS == 0 and RT % 4 == 0
         out_shape = (
             jax.ShapeDtypeStruct((B, 16), jnp.int32),
-            jax.ShapeDtypeStruct((RT, B, Wb), jnp.uint8),
+            jax.ShapeDtypeStruct((RT // 4, B, Wb), jnp.int32),
         )
         out_specs = (
             pl.BlockSpec((TB, 16), lambda b, r: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, TB, Wb), lambda b, r: (r, b, 0),
+            pl.BlockSpec((ROWS // 4, TB, Wb), lambda b, r: (r, b, 0),
                          memory_space=pltpu.VMEM),
         )
     else:
@@ -893,25 +911,26 @@ def _compiled_exts_pallas(B, TB, Lq, Lt, R, Wb, q, e, q2, noncan, junc_bonus,
     if has_junc:
         in_specs.append(vspec((TB, WT)))
     scratch = [
-        pltpu.VMEM((TB, Wb), jnp.int8),  # u
-        pltpu.VMEM((TB, Wb), jnp.int8),  # v
-        pltpu.VMEM((TB, Wb), jnp.int8),  # x
-        pltpu.VMEM((TB, Wb), jnp.int8),  # y
-        pltpu.VMEM((TB, Wb), jnp.int8),  # x2 (intron)
-        pltpu.VMEM((TB, Wb), jnp.int8),  # s
+        pltpu.VMEM((TB, Wb), jnp.int32),  # u  (i32 state: see extd note)
+        pltpu.VMEM((TB, Wb), jnp.int32),  # v
+        pltpu.VMEM((TB, Wb), jnp.int32),  # x
+        pltpu.VMEM((TB, Wb), jnp.int32),  # y
+        pltpu.VMEM((TB, Wb), jnp.int32),  # x2 (intron)
+        pltpu.VMEM((TB, Wb), jnp.int32),  # s
         pltpu.VMEM((TB, Wb), jnp.int32),  # H
         pltpu.VMEM((TB, 16), jnp.int32),  # acc
     ]
     if with_cigar:
+        # packed dirs: 4 rows per i32 word, as in _compiled_extd_pallas
         RT = _round_up(KR * ROWS, TB_KTB)
-        assert RT % ROWS == 0
+        assert RT % ROWS == 0 and RT % 4 == 0
         out_shape = (
             jax.ShapeDtypeStruct((B, 16), jnp.int32),
-            jax.ShapeDtypeStruct((RT, B, Wb), jnp.uint8),
+            jax.ShapeDtypeStruct((RT // 4, B, Wb), jnp.int32),
         )
         out_specs = (
             vspec((TB, 16)),
-            pl.BlockSpec((ROWS, TB, Wb), lambda b, r: (r, b, 0),
+            pl.BlockSpec((ROWS // 4, TB, Wb), lambda b, r: (r, b, 0),
                          memory_space=pltpu.VMEM),
         )
     else:
@@ -1010,7 +1029,7 @@ def exts_pallas(qseqs, tseqs, mat, q, e, q2, noncan, zdrop, junc_bonus, flag,
         i0, j0 = _compiled_select_starts("max" if extz_only else False)(
             out[0], qlen_a, tlen_a, np.int32(0))
         tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX,
-                                 RD=out[1].shape[0], BROWS=ROWS,
+                                 RD=out[1].shape[0] * 4, BROWS=ROWS,
                                  min_intron=_exts_long_thres(q, e, q2))
         ops, fin = tb(out[1], qlen_a, tlen_a, i0, j0, w_a)
         ops = np.asarray(ops)
@@ -1080,6 +1099,9 @@ def _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=None, BROWS=1,
     assert RD % KTB == 0
     NS = RD // KTB
     Rp = _round_up(RD, 128)
+    # step-window kernels (BROWS a multiple of 4) emit dirs PACKED 4 rows
+    # per i32 word; the per-row extz kernel (BROWS=1) emits u8 rows
+    packed = BROWS % 4 == 0
 
     def kernel(dirs_ref, qlen_ref, tlen_ref, i0_ref, j0_ref, w_ref,
                ops_ref, fin_ref, wk_s, chunk_s):
@@ -1122,7 +1144,14 @@ def _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=None, BROWS=1,
             st0c = jnp.maximum(jnp.maximum(0, r0b - Lq + 1),
                                (r0b - W_MAX + 1) >> 1)
             base = st0c // 16 * 16 - 16
-            row = dirs_ref[KTB - 1 - jr, :, :].astype(i32)
+            rr = KTB - 1 - jr
+            if packed:
+                # byte rr%4 of word rr//4 (rows ≡ r mod 4: both the DP
+                # step base r0 and this step's r_lo are multiples of 4)
+                word = dirs_ref[rr // 4, :, :]
+                row = jax.lax.shift_right_logical(word, 8 * (rr % 4)) & 0xFF
+            else:
+                row = dirs_ref[rr, :, :].astype(i32)
             d = jnp.sum(jnp.where(lanes == i - base, row, 0), axis=1,
                         keepdims=True)
             force2 = i < st
@@ -1169,12 +1198,16 @@ def _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=None, BROWS=1,
         def _out():
             fin_ref[:] = wk_s[:]
 
+    dirs_spec = (
+        pl.BlockSpec((KTB // 4, TB, Wb), lambda b, k: (NS - 1 - k, b, 0),
+                     memory_space=pltpu.VMEM) if packed else
+        pl.BlockSpec((KTB, TB, Wb), lambda b, k: (NS - 1 - k, b, 0),
+                     memory_space=pltpu.VMEM))
     call = pl.pallas_call(
         kernel,
         grid=(nB, NS),
         in_specs=[
-            pl.BlockSpec((KTB, TB, Wb), lambda b, k: (NS - 1 - k, b, 0),
-                         memory_space=pltpu.VMEM),
+            dirs_spec,
             pl.BlockSpec((TB, 1), lambda b, k: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 1), lambda b, k: (b, 0),
@@ -1235,11 +1268,13 @@ def traceback_batch(dirs_dev, qlen, tlen, w, Lq, i0, j0, rev_cigar,
     """Run the device traceback for a whole DP batch; returns a list of
     BAM-packed CIGARs (empty array where i0/j0 < 0)."""
     RD, B, Wb = dirs_dev.shape
+    BROWS = BROWS if BROWS else extd_rows(Wb)
+    if BROWS % 4 == 0:
+        RD *= 4  # packed dirs: 4 rows per i32 word
     R = RD
     B0 = len(qlen)
     W_MAX = W_MAX or (w if np.isscalar(w) else int(np.max(w)))
-    run = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=RD,
-                              BROWS=BROWS if BROWS else extd_rows(Wb))
+    run = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX, RD=RD, BROWS=BROWS)
 
     def col(v, fill):
         a = np.full((B, 1), fill, np.int32)
@@ -1474,7 +1509,7 @@ class DevCall:
             i0, j0 = _compiled_select_starts(self.extz_only)(
                 out[0], qlen_a, tlen_a, eb)
             tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX,
-                                     RD=out[1].shape[0],
+                                     RD=out[1].shape[0] * 4,
                                      BROWS=extd_rows(Wb))
             self.ops_dev, self.fin_dev = tb(out[1], qlen_a, tlen_a, i0, j0,
                                             w_a)
@@ -1824,9 +1859,12 @@ class DevCallPooled:
                     return out[0]
                 i0, j0 = _compiled_select_starts(sel_mode)(out[0], qlen_,
                                                            tlen_, eb)
-                tb = _compiled_traceback(B, TB, R, Wb, Lq, W_MAX,
-                                         RD=out[1].shape[0], BROWS=brows,
-                                         min_intron=min_intron)
+                tb = _compiled_traceback(
+                    B, TB, R, Wb, Lq, W_MAX,
+                    # step-window dirs are packed 4 rows/word; extz
+                    # (brows == 1) stays row-per-step u8
+                    RD=out[1].shape[0] * (1 if brows == 1 else 4),
+                    BROWS=brows, min_intron=min_intron)
                 ops, fin = tb(out[1], qlen_, tlen_, i0, j0, w_)
                 return _compiled_fuse_out(pack_cols, is_spl)(out[0], fin,
                                                              ops)

@@ -19,6 +19,7 @@ from collections import defaultdict
 import numpy as np
 
 from ..options import MM_F_SPLICE, stage2_options
+from ..utils.devguard import DeviceHang, device_guard, device_hung
 from .align import JobSeq, align_pair
 from .frag import (MapResult, McasState, _map_vanilla_gen, make_qseq0,
                    mcas_stage2_gen)
@@ -69,6 +70,8 @@ def _cpu_only_pinned() -> bool:
 def _use_device() -> bool:
     import os
 
+    if device_hung():
+        return False  # wedged tunnel detected: host kernels only
     if os.environ.get("WM_NO_TPU", "") != "":
         return False
     if os.environ.get("WM_PALLAS_INTERPRET") == "1":
@@ -378,11 +381,12 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
         units = sorted(units, key=lambda u: -(u[2][0][2] + u[2][1][2]))
         for lo in range(0, len(units), cap):
             chunk = units[lo:lo + cap]
-            if kernel_broken(vkey):
+            if kernel_broken(vkey) or device_hung():
                 host_run_chunk(chunk)
                 continue
             t0 = time.time()
-            try:
+
+            def _mk(chunk=chunk):
                 call = DevCallPooled(
                     pools, [u[2] for u in chunk], mat, opt.q, opt.e,
                     opt.q2, opt.e2, end_bonus, flag,
@@ -391,6 +395,13 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
                     juncs=([u[3][8] if len(u[3]) > 8 else None
                             for u in chunk] if is_spl else None))
                 call.start_fetch()
+                return call
+
+            try:
+                call = device_guard(_mk, tag=f"dispatch:{vkey}")
+            except DeviceHang:
+                host_run_chunk(chunk)
+                continue
             except Exception as exc:  # lowering/compile failure
                 note_kernel_failure(vkey, exc)
                 host_run_chunk(chunk)
@@ -481,7 +492,10 @@ def run_ext_tasks(tasks: list[_Task], pools=None) -> None:
             inflight_bytes -= nbytes
             t0 = time.time()
             try:
-                ezs = call.collect()
+                ezs = device_guard(call.collect, tag="collect")
+            except DeviceHang:
+                host_run_chunk(chunk)
+                continue
             except Exception as exc:  # device died mid-run
                 note_kernel_failure(("collect",), exc)
                 host_run_chunk(chunk)

@@ -31,6 +31,7 @@ from ..options import (
     stage1_options,
     stage2_options,
 )
+from ..utils.devguard import DeviceHang, device_guard, device_hung
 from .batch import (MAX_INFLIGHT_CALLS, MIN_DEV_BATCH, MIN_MERGED_BATCH,
                     STATS, kernel_broken, note_kernel_failure)
 from .frag import MapResult, _x31_hash
@@ -278,9 +279,21 @@ class MapEngine:
         for key, members in groups.items():
             (mdx, mindx, mdy, bw, mskip, miter, mcnt, msc, is_cdna,
              gs) = key
-            results = chain_dp_device_batch(
-                [(ax, ay) for _, ax, ay in members], mdx, mindx, mdy, bw,
-                mskip, miter, mcnt, msc, gs, is_cdna)
+            try:
+                results = device_guard(
+                    lambda m=members: chain_dp_device_batch(
+                        [(ax, ay) for _, ax, ay in m], mdx, mindx, mdy, bw,
+                        mskip, miter, mcnt, msc, gs, is_cdna),
+                    tag="chain")
+            except (DeviceHang, Exception) as exc:
+                if not isinstance(exc, DeviceHang):
+                    note_kernel_failure(("chain",), exc)
+                self.device = self.device and not isinstance(exc, DeviceHang)
+                results = [native.chain_dp(
+                    ax, ay, max_dist_x=mdx, min_dist_x=mindx,
+                    max_dist_y=mdy, bw=bw, max_skip=mskip, max_iter=miter,
+                    min_cnt=mcnt, min_sc=msc, gap_scale=gs,
+                    is_cdna=is_cdna, n_segs=1) for _, ax, ay in members]
             for (cid, _, _), (u, oax, oay) in zip(members, results):
                 u = np.ascontiguousarray(u, np.uint64)
                 oax = np.ascontiguousarray(oax, np.uint64)
@@ -384,7 +397,8 @@ class MapEngine:
                           C_W, C_ZD]])
             t0 = time.time()
             m0 = _misses()
-            try:
+
+            def _mk(units=units, crows=crows):
                 call = DevCallPooled(
                     self.pools, units, mat, opt.q, opt.e,
                     opt.q2, opt.e2,
@@ -395,6 +409,16 @@ class MapEngine:
                     splice=((opt.noncan, opt.junc_bonus)
                             if is_spl else None))
                 call.start_fetch()
+                return call
+
+            try:
+                # worker-thread + deadline: a wedged tunnel turns into a
+                # host-path run instead of hanging the batch (devguard)
+                call = device_guard(_mk, tag=f"dispatch:{vkey}")
+            except DeviceHang:
+                self.device = False
+                self._host_run(crows)
+                continue
             except Exception as exc:  # lowering/compile failure
                 note_kernel_failure(vkey, exc)
                 self._host_run(crows)
@@ -421,16 +445,23 @@ class MapEngine:
 
         from ..extend.pallas_kernel import quantize_len_vec
 
-        if not self.device:
-            # no TPU: run every exported job on the engine's host kernels
+        def host_pump():
+            # no TPU: run every exported job on the engine's host kernels.
+            # _service_chains also answers chain exports (host chain_dp when
+            # the device is hung/disabled) so threads that exported a chain
+            # before a mid-phase device failure still get an answer.
             while True:
                 rows = self._step()
                 if len(rows):
                     ids = np.ascontiguousarray(rows[:, C_ID])
                     self.L.wm_eng_run_host_ids(self.h, len(ids),
                                                ids.ctypes.data)
-                elif self.L.wm_eng_live(self.h) == 0:
+                elif (not self._service_chains()
+                        and self.L.wm_eng_live(self.h) == 0):
                     return
+
+        if not self.device:
+            return host_pump()
 
         pending: dict = defaultdict(list)  # key -> list of row arrays
         inflight: deque = deque()
@@ -599,7 +630,11 @@ class MapEngine:
         def collect_one(call, crows, stat):
             t0 = time.time()
             try:
-                collected = call.collect_blob()
+                collected = device_guard(call.collect_blob, tag="collect")
+            except DeviceHang:
+                self.device = False
+                self._host_run(crows)
+                return
             except Exception as exc:  # device died mid-run
                 note_kernel_failure(("collect",), exc)
                 self._host_run(crows)
@@ -608,6 +643,20 @@ class MapEngine:
             self._deliver(crows, collected)
 
         while True:
+            if not self.device:
+                # device disabled mid-phase (wedged tunnel / systemic kernel
+                # failure): flush every queued group to the host kernels and
+                # finish the phase there.  In-flight device results are
+                # abandoned un-collected — their jobs re-run on host (safe:
+                # results only reach the engine through _deliver)
+                while inflight:
+                    _call, crows = inflight.popleft()
+                    self._host_run(crows)
+                for key in list(pending):
+                    self._host_run(np.stack(pending.pop(key)))
+                while hostq:
+                    self._host_run(hostq.popleft())
+                return host_pump()
             rows = self._step()
             if len(rows):
                 bucket(rows)
@@ -729,8 +778,14 @@ def _build_pools_engine(mi, seqs, device=None):
         qpool[o + L:o + 2 * L] = np.where(m, 3 - rev, rev)
         qoffs.append((o, o + L))
         o += 2 * L
-    pools = (PoolContext(qpool, mi.codes, device=device)
-             if _use_device() else None)
+    pools = None
+    if _use_device():
+        try:
+            pools = device_guard(
+                lambda: PoolContext(qpool, mi.codes, device=device),
+                tag="pool-upload")
+        except DeviceHang:
+            pools = None  # wedged during upload: host-only engine
     return pools, qoffs, qpool
 
 
